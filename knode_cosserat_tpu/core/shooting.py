@@ -1,0 +1,127 @@
+"""Shooting-method boundary solve for the base reaction G = [n0, m0].
+
+Replaces ``scipy.optimize.fsolve`` / ``minimize(L-BFGS-B)`` in the reference
+rollout (knode.py:85-94) with a jittable damped-Newton solver:
+
+  - the 6x6 Jacobian comes from ``jax.jacfwd`` of the spatial sweep
+    (6 forward-mode columns, batched by XLA),
+  - a backtracking line search guards cold starts,
+  - ``lax.while_loop`` keeps iteration data-dependent but fully on device,
+  - the whole solve vmaps over batches of rods/timesteps, and
+  - ``implicit_root`` wraps it in ``lax.custom_root`` so training can
+    differentiate through the *solved* step via the implicit function
+    theorem instead of unrolling Newton iterations.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.linalg import solve_small, solve_spd_small
+
+__all__ = ["newton_solve", "implicit_root", "NewtonStats"]
+
+
+class NewtonStats(NamedTuple):
+    iterations: jnp.ndarray
+    residual_norm: jnp.ndarray
+    converged: jnp.ndarray
+
+
+def newton_solve(
+    residual_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    G0: jnp.ndarray,
+    tol: float = 1e-12,
+    max_iter: int = 50,
+    max_backtracks: int = 12,
+    damping: float = 0.0,
+):
+    """Solve residual_fn(G) = 0 by damped Newton with backtracking.
+
+    Args:
+      residual_fn: (6,) -> (6,), e.g. a closure over spatial.residual_euler.
+      G0: warm-start guess (the previous timestep's solution, knode.py:88).
+      tol: stop when sum(r^2) < tol (fsolve's default xtol is 1.49e-8 on the
+        step; we converge the residual itself much tighter so trajectories
+        agree with the reference to solver precision).
+      damping: optional Tikhonov term lambda*I added to J for near-singular
+        Jacobians (Levenberg-Marquardt flavor); 0 = pure Newton.
+
+    Returns:
+      (G, NewtonStats).
+    """
+    dtype = G0.dtype
+    eye = jnp.eye(G0.shape[-1], dtype=dtype)
+
+    def sq(r):
+        return jnp.sum(r * r)
+
+    def cond(state):
+        G, r2, it, stalled = state
+        return (r2 > tol) & (it < max_iter) & (~stalled)
+
+    def body(state):
+        G, r2, it, _ = state
+        r = residual_fn(G)
+        J = jax.jacfwd(residual_fn)(G)
+        if damping:
+            J = J + damping * eye
+        # 6x6 solve (explicit pivoted elimination — TPU has no f64 LU);
+        # fall back to a damped least-squares step if singular.
+        dG = solve_small(J, -r)
+        dG = jnp.where(jnp.all(jnp.isfinite(dG)), dG,
+                       solve_spd_small(J, -r, damping=1e-8))
+
+        # Backtracking line search: accept the first step size that reduces
+        # the squared residual; keep the full step's result if none does
+        # (matches fsolve's willingness to wander early on).
+        def try_alpha(carry, k):
+            best_G, best_r2, found = carry
+            alpha = 0.5 ** k
+            Gt = G + alpha * dG
+            r2t = sq(residual_fn(Gt))
+            better = (~found) & (r2t < r2)
+            best_G = jnp.where(better, Gt, best_G)
+            best_r2 = jnp.where(better, r2t, best_r2)
+            return (best_G, best_r2, found | better), None
+
+        G_full = G + dG
+        r2_full = sq(residual_fn(G_full))
+        init = (G_full, r2_full, r2_full < r2)
+        (G_new, r2_new, found), _ = lax.scan(
+            try_alpha, init, jnp.arange(1, max_backtracks + 1))
+        # If no step reduced the residual, take the full step anyway but
+        # flag a stall so we exit rather than loop forever.
+        stalled = ~found & (r2_full >= r2)
+        return (G_new, r2_new, it + 1, stalled)
+
+    r0 = residual_fn(G0)
+    state0 = (G0, sq(r0), jnp.array(0, jnp.int32), jnp.array(False))
+    G, r2, it, stalled = lax.while_loop(cond, body, state0)
+    return G, NewtonStats(it, jnp.sqrt(r2), r2 <= tol)
+
+
+def implicit_root(
+    residual_fn: Callable,
+    G0: jnp.ndarray,
+    tol: float = 1e-12,
+    max_iter: int = 50,
+):
+    """Differentiable shooting solve: gradients flow through the implicit
+    function theorem (lax.custom_root), not the Newton iterations.
+
+    ``residual_fn`` may close over differentiable parameters (rod params, NN
+    weights); d(root)/d(params) = -J^{-1} dr/d(params) is handled by JAX.
+    """
+    def solve(f, x0):
+        G, _ = newton_solve(f, x0, tol=tol, max_iter=max_iter)
+        return G
+
+    def tangent_solve(g, y):
+        return solve_small(jax.jacobian(g)(y), y)
+
+    return lax.custom_root(residual_fn, G0, solve, tangent_solve)
