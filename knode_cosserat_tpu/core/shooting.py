@@ -122,6 +122,9 @@ def implicit_root(
         return G
 
     def tangent_solve(g, y):
-        return solve_small(jax.jacobian(g)(y), y)
+        # g is linear; evaluate its Jacobian at a y-independent point so the
+        # elimination in solve_small stays transposable (linear in y).
+        J = jax.jacobian(g)(jnp.zeros_like(y))
+        return solve_small(J, y)
 
     return lax.custom_root(residual_fn, G0, solve, tangent_solve)

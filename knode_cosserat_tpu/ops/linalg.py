@@ -15,38 +15,40 @@ __all__ = ["solve_small", "solve_spd_small"]
 
 def solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve A x = b for small static n (A: (..., n, n), b: (..., n)) by
-    Gaussian elimination with partial pivoting, unrolled at trace time."""
+    Gaussian elimination with partial pivoting, unrolled at trace time.
+
+    A and b are eliminated side by side (never concatenated) so that when A
+    is constant the computation stays *linear in b* at the jaxpr level —
+    required for lax.custom_root's tangent_solve to be transposable."""
     n = A.shape[-1]
-    M = jnp.concatenate([A, b[..., :, None]], axis=-1)  # (..., n, n+1)
 
     for k in range(n):
-        col = jnp.abs(M[..., :, k])
-        mask = jnp.arange(n) < k
-        col = jnp.where(mask, -jnp.inf, col)
+        col = jnp.abs(A[..., :, k])
+        col = jnp.where(jnp.arange(n) < k, -jnp.inf, col)
         piv = jnp.argmax(col, axis=-1)  # (...,)
 
-        # swap rows k and piv (gather-based, batched)
-        idx = jnp.arange(n)
-        idx = jnp.broadcast_to(idx, M.shape[:-2] + (n,))
-        k_arr = jnp.full(M.shape[:-2], k, dtype=piv.dtype)
+        # row-permutation indices swapping k <-> piv (derived from A only)
+        idx = jnp.broadcast_to(jnp.arange(n), A.shape[:-2] + (n,))
+        k_arr = jnp.full(A.shape[:-2] + (1,), k, dtype=piv.dtype)
         perm = jnp.where(idx == k, piv[..., None],
-                         jnp.where(idx == piv[..., None], k_arr[..., None], idx))
-        M = jnp.take_along_axis(M, perm[..., :, None], axis=-2)
+                         jnp.where(idx == piv[..., None], k_arr, idx))
+        A = jnp.take_along_axis(A, perm[..., :, None], axis=-2)
+        b = jnp.take_along_axis(b, perm, axis=-1)
 
-        pivot_row = M[..., k, :]                     # (..., n+1)
+        pivot_row = A[..., k, :]                     # (..., n)
         pivot_val = pivot_row[..., k][..., None]     # (..., 1)
-        factors = M[..., :, k] / pivot_val           # (..., n)
-        elim = (jnp.arange(n) > k)
-        factors = jnp.where(elim, factors, 0.0)
-        M = M - factors[..., :, None] * pivot_row[..., None, :]
+        factors = A[..., :, k] / pivot_val[..., 0][..., None]
+        factors = jnp.where(jnp.arange(n) > k, factors, 0.0)
+        A = A - factors[..., :, None] * pivot_row[..., None, :]
+        b = b - factors * b[..., k][..., None]
 
     # back substitution
     xs = [None] * n
     for k in range(n - 1, -1, -1):
-        rhs = M[..., k, n]
+        rhs = b[..., k]
         for j in range(k + 1, n):
-            rhs = rhs - M[..., k, j] * xs[j]
-        xs[k] = rhs / M[..., k, k]
+            rhs = rhs - A[..., k, j] * xs[j]
+        xs[k] = rhs / A[..., k, k]
     return jnp.stack(xs, axis=-1)
 
 

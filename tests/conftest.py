@@ -1,0 +1,38 @@
+"""Test configuration: run everything on CPU with 8 virtual devices and x64.
+
+- CPU: deterministic, and lets multi-chip sharding tests run without real
+  TPUs (XLA_FLAGS=--xla_force_host_platform_device_count=8 — the TPU-world
+  answer to testing multi-node without a cluster, SURVEY.md section 4).
+- x64: the reference solver is float64 numpy (knode.py:58-67); parity tests
+  need matching precision. f32 behavior is exercised explicitly via dtype
+  arguments where relevant.
+"""
+import os
+import sys
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="session")
+def golden_dir():
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), "golden")
+    if not os.path.isdir(d) or not os.listdir(d):
+        pytest.skip("golden data not generated (scripts/gen_golden.py)")
+    return d
+
+
+def load_golden(golden_dir, name):
+    data = np.load(os.path.join(golden_dir, name + ".npz"))
+    return data["controls"], data["traj"]
