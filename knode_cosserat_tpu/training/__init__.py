@@ -1,0 +1,7 @@
+from .data import (make_training_data, make_validation_reference,
+                   parse_traj_specs)
+from .loss import (teacher_forced_loss, grow_predictions,
+                   DEFAULT_KEYPOINTS_FAST, DEFAULT_KEYPOINTS_SLOW,
+                   DEFAULT_KEYPOINTS_REAL)
+from .train import (TrainConfig, TrainResult, train_knode, make_train_step,
+                    rollout_with_nn)

@@ -1,0 +1,105 @@
+"""Teacher-forced one-step KNODE training loss.
+
+Vectorized parity implementation of the reference's `--fast` training path
+(physics_train.py:306-376 driving parallelGetNextSegmentEuler,
+cosserat_ode_torch.py:401-437), which itself reproduces the slow path
+(physics_train.py:209-304) at different keypoints. The entire
+(trajectory x timestep x keypoint) batch is one broadcast RHS evaluation —
+the MLP matmul sees a [T*K(*n_traj), hidden] problem on the MXU.
+
+Loss per timestep (physics_train.py:345-352), summed over timesteps and
+trajectories then divided by (batch_len - 1):
+  MSE(pos[kp])  +  MSE(states 7:19 [kp])
+  + MSE(euler(quat[kp]))  +  MSE(z[kp-1])
+where euler is the reference's custom quaternion_to_euler and the z targets
+use keypoint index kp-1 (the node where the RHS actually produced z —
+physics_train.py:351-352).
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.params import RodParams
+from ..core.spatial import next_segment_euler
+from ..models.mlp import MLPSpec, mlp_apply
+from ..ops.quaternion import quaternion_to_euler
+
+__all__ = ["teacher_forced_loss", "grow_predictions",
+            "DEFAULT_KEYPOINTS_FAST", "DEFAULT_KEYPOINTS_SLOW",
+            "DEFAULT_KEYPOINTS_REAL"]
+
+# keypoint sets used by the reference trainers
+DEFAULT_KEYPOINTS_FAST = (3, 5, 7, 9)   # physics_train.py:328
+DEFAULT_KEYPOINTS_SLOW = (2, 6, 9)      # physics_train.py:250
+DEFAULT_KEYPOINTS_REAL = (1, 3, 6, 9)   # train_segment.py:172
+
+
+def grow_predictions(
+    p: RodParams,
+    spec: MLPSpec,
+    nn_params,
+    traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    keypoints: Sequence[int],
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Teacher-forced next-state predictions at the keypoints.
+
+    Args:
+      traj: (T, N, 25) state-last ground truth ([y(19), z(6)]).
+      controls: (T, 4) tendon tensions.
+    Returns:
+      (y_grown, z_new): (T-1, K, 19), (T-1, K, 6) predictions for steps
+      1..T-1 evaluated at nodes keypoints-1.
+    """
+    kp = jnp.asarray(keypoints)
+    ys = traj[:-1, :, :19]
+    zs = traj[:-1, :, 19:]
+    # first step uses itself as prev (physics_train.py:321-322)
+    y_prev = jnp.concatenate([ys[:1], ys[:-1]], axis=0)
+    z_prev = jnp.concatenate([zs[:1], zs[:-1]], axis=0)
+    yh = p.c1 * ys + p.c2 * y_prev    # (T-1, N, 19)
+    zh = p.c1 * zs + p.c2 * z_prev
+
+    G = traj[1:]                       # truth next state (T-1, N, 25)
+    y_in = G[:, kp - 1, :19]           # (T-1, K, 19)
+    yh_in = yh[:, kp - 1]
+    zh_in = zh[:, kp - 1]
+    tf = controls[:-1] @ p.tendon_dirs  # (T-1, 3)
+
+    nn_fn = None
+    if nn_params is not None:
+        nn_fn = lambda x: mlp_apply(spec, nn_params, x)
+    return next_segment_euler(p, y_in, yh_in, zh_in, tf,
+                              nn_fn=nn_fn, nn_history=spec.history)
+
+
+def teacher_forced_loss(
+    p: RodParams,
+    spec: MLPSpec,
+    nn_params,
+    traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
+) -> jnp.ndarray:
+    """Scalar loss for one trajectory; vmap over a leading trajectory axis
+    and sum for the multi-trajectory total (physics_train.py:313-366)."""
+    kp = jnp.asarray(keypoints)
+    y_grown, z_new = grow_predictions(p, spec, nn_params, traj, controls,
+                                      keypoints)
+    target = traj[1:]                       # (T-1, N, 25)
+    tgt_y = target[:, kp, :19]              # (T-1, K, 19)
+    tgt_z = target[:, kp - 1, 19:]          # (T-1, K, 6) — kp-1 indexing
+
+    mse = lambda a, b: jnp.mean((a - b) ** 2)
+    loss = (mse(y_grown[..., 0:3], tgt_y[..., 0:3])
+            + mse(y_grown[..., 7:19], tgt_y[..., 7:19])
+            + mse(quaternion_to_euler(y_grown[..., 3:7]),
+                  quaternion_to_euler(tgt_y[..., 3:7]))
+            + mse(z_new, tgt_z))
+    # reference sums per-step means then divides by (batch_len-1); with
+    # equal-sized steps that's exactly the mean over steps, already taken
+    # by mse() above — so `loss` is directly comparable.
+    return loss

@@ -1,0 +1,200 @@
+"""KNODE training: one jitted optax step over the whole batch.
+
+Rebuild of the reference trainers (physics_train.py sim track,
+train_segment.py real track) with the `--fast` path as the only path — but
+fully batched: every (trajectory, timestep, keypoint) is one fused forward/
+backward on device, instead of a Python loop accumulating per-step losses.
+
+Optimizer parity: Adam(lr=1e-2, weight_decay) + ReduceLROnPlateau(
+patience=80, factor=0.5) (physics_train.py:199-206) via
+optax.contrib.reduce_on_plateau, plus the post-step non-negative weight
+clamp (physics_train.py:299-304). Periodic evaluation rolls the hybrid
+model out on a validation schedule and scores tip DTW against the reference
+rod (evaluate, physics_train.py:136-167); the best-DTW parameters are kept
+(the reference stashes whole-robot pickles in BytesIO buffers keyed by DTW,
+physics_train.py:163-167,410-417 — we keep the params pytree).
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from functools import partial
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.params import RodParams
+from ..core.stepper import simulate_scan
+from ..evaluation.metrics import tip_dtw
+from ..models.mlp import MLPSpec, bind, clamp_nonnegative, init_mlp, mlp_apply
+from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
+
+__all__ = ["TrainConfig", "TrainResult", "train_knode", "make_train_step",
+           "rollout_with_nn"]
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    epochs: int = 2000
+    lr: float = 1e-2
+    weight_decay: float = 0.0
+    hidden: int = 512
+    keypoints: Tuple[int, ...] = DEFAULT_KEYPOINTS_FAST
+    history: bool = False
+    activation: str = "elu"
+    seed: int = 0
+    clamp_weights: bool = True              # physics_train.py:26,299-304
+    plateau_patience: int = 80
+    plateau_factor: float = 0.5
+    eval_every: int = 200                   # physics_train.py:379 (fast path)
+    eval_len: int = 100
+    log_every: int = 10
+    dtype: str = "float32"
+
+    def spec(self) -> MLPSpec:
+        return MLPSpec.for_knode(self.hidden, self.history, self.activation)
+
+
+@dataclasses.dataclass
+class TrainResult:
+    params: tuple                 # final params
+    best_params: tuple            # best-validation-DTW params
+    best_dtw: float
+    loss_history: np.ndarray      # (epochs,)
+    dtw_history: list             # [(epoch, dtw)]
+    spec: MLPSpec
+    config: TrainConfig
+    epochs_per_sec: float = 0.0
+
+
+def make_optimizer(cfg: TrainConfig):
+    if cfg.weight_decay:
+        base = optax.adamw(cfg.lr, weight_decay=cfg.weight_decay)
+    else:
+        base = optax.adam(cfg.lr)
+    plateau = optax.contrib.reduce_on_plateau(
+        factor=cfg.plateau_factor, patience=cfg.plateau_patience,
+        rtol=1e-4, atol=0.0, cooldown=0, accumulation_size=1)
+    return optax.chain(base, plateau)
+
+
+def make_train_step(p: RodParams, spec: MLPSpec, optimizer,
+                    keypoints: Sequence[int], clamp: bool):
+    """Build the jitted (params, opt_state, trajs, controls) -> ... step.
+
+    trajs: (n_traj, T, N, 25); controls: (n_traj, T, 4). The per-trajectory
+    losses are summed, matching the reference accumulation
+    (physics_train.py:313-365)."""
+    kp = tuple(keypoints)
+
+    def total_loss(params, trajs, controls):
+        per = jax.vmap(
+            lambda t, c: teacher_forced_loss(p, spec, params, t, c, kp)
+        )(trajs, controls)
+        return jnp.sum(per)
+
+    @jax.jit
+    def step(params, opt_state, trajs, controls):
+        loss, grads = jax.value_and_grad(total_loss)(params, trajs, controls)
+        updates, opt_state = optimizer.update(grads, opt_state, params,
+                                              value=loss)
+        params = optax.apply_updates(params, updates)
+        if clamp:
+            params = clamp_nonnegative(params)
+        return params, opt_state, loss
+
+    return step, total_loss
+
+
+@partial(jax.jit, static_argnames=("spec", "method", "max_iter"))
+def rollout_with_nn(p: RodParams, controls, spec: MLPSpec, nn_params,
+                    method: str = "euler", tol: float = 1e-16,
+                    max_iter: int = 50):
+    """Closed-loop rollout with the hybrid (physics + MLP) RHS — replaces
+    the reference's numpy NN shim re-execution (cosserat_ode.py:81-112 +
+    physics_train.py:139-144): one core, no torch->numpy export."""
+    nn_fn = bind(spec, nn_params)
+    return simulate_scan(p, controls, nn_fn=nn_fn, nn_history=spec.history,
+                         method=method, tol=tol, max_iter=max_iter).traj
+
+
+def train_knode(
+    p_mod: RodParams,
+    trajs,
+    controls,
+    cfg: TrainConfig,
+    validation_controls=None,
+    validation_reference=None,
+    eval_rod: Optional[RodParams] = None,
+    log: Optional[Callable[[str], None]] = print,
+) -> TrainResult:
+    """Train the KNODE residual for a (possibly perturbed) rod ``p_mod`` on
+    teacher-forcing data from the reference rod.
+
+    validation_controls/validation_reference: optional (T,4) schedule and
+    (T,N,25) reference rollout for DTW-based best-model selection.
+    eval_rod: rod used for validation rollouts (defaults to p_mod).
+    """
+    spec = cfg.spec()
+    dtype = jnp.dtype(cfg.dtype)
+    params = init_mlp(spec, jax.random.PRNGKey(cfg.seed), dtype)
+    optimizer = make_optimizer(cfg)
+    opt_state = optimizer.init(params)
+
+    trajs = jnp.asarray(trajs, dtype)
+    controls_a = jnp.asarray(controls, dtype)
+    step, _ = make_train_step(p_mod, spec, optimizer, cfg.keypoints,
+                              cfg.clamp_weights)
+
+    eval_rod = eval_rod if eval_rod is not None else p_mod
+    do_eval = (validation_controls is not None
+               and validation_reference is not None)
+
+    loss_hist = []
+    dtw_hist = []
+    best_dtw, best_params = np.inf, params
+    t_start = time.perf_counter()
+    t0_compiled = None
+
+    for epoch in range(cfg.epochs + 1):
+        params, opt_state, loss = step(params, opt_state, trajs, controls_a)
+        loss_hist.append(float(loss))
+        if epoch == 0:
+            t0_compiled = time.perf_counter()
+
+        if log and epoch % cfg.log_every == 0:
+            log(f"Epoch {epoch} of {cfg.epochs}")
+            log(f"Total loss: {float(loss):.6e}")
+
+        if do_eval and epoch % cfg.eval_every == 0:
+            # reference quirk: the epoch-0 eval scores the NO-NN baseline
+            # (physics_train.py:275,380 pass None at epoch 0)
+            nn_p = None if epoch == 0 else params
+            if nn_p is None:
+                traj = simulate_scan(eval_rod,
+                                     jnp.asarray(validation_controls,
+                                                 eval_rod.dtype)).traj
+            else:
+                traj = rollout_with_nn(eval_rod,
+                                       jnp.asarray(validation_controls,
+                                                   eval_rod.dtype),
+                                       spec, nn_p)
+            d = tip_dtw(np.asarray(traj)[:, :, :25], validation_reference)
+            dtw_hist.append((epoch, d))
+            if log:
+                log(f"Validation DTW Distance XYZ {d}")
+            if d < best_dtw:
+                best_dtw, best_params = d, jax.tree.map(lambda x: x, params)
+
+    elapsed = time.perf_counter() - (t0_compiled or t_start)
+    eps = cfg.epochs / elapsed if elapsed > 0 else 0.0
+    if not do_eval:
+        best_dtw, best_params = np.nan, params
+    return TrainResult(params=params, best_params=best_params,
+                       best_dtw=float(best_dtw),
+                       loss_history=np.asarray(loss_hist),
+                       dtw_history=dtw_hist, spec=spec, config=cfg,
+                       epochs_per_sec=eps)

@@ -1,0 +1,149 @@
+"""Training-stack tests, including loss parity vs the reference torch path."""
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu import apply_mod
+from knode_cosserat_tpu.models import (MLPSpec, init_mlp, mlp_apply,
+                                       clamp_nonnegative, bind)
+from knode_cosserat_tpu.training import (make_training_data,
+                                         teacher_forced_loss,
+                                         TrainConfig, train_knode)
+from knode_cosserat_tpu.training.train import rollout_with_nn
+
+REF = "/root/reference/knode_cosserat"
+
+
+def _torch_robot_with_weights(mod, hidden, params):
+    """Build the reference torch robot and load OUR weights into it."""
+    import torch
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from cosserat_ode_torch import CosseratRodTorch  # reference oracle
+    from knode import setup_robot                    # reference oracle
+
+    robot = CosseratRodTorch("cpu", hidden)
+    setup_robot(robot, mod)
+    robot.use_nn = True
+    with torch.no_grad():
+        robot.nn_models[0].weight.copy_(torch.tensor(np.asarray(params[0]["w"])))
+        robot.nn_models[0].bias.copy_(torch.tensor(np.asarray(params[0]["b"])))
+        robot.nn_models[2].weight.copy_(torch.tensor(np.asarray(params[1]["w"])))
+        robot.nn_models[2].bias.copy_(torch.tensor(np.asarray(params[1]["b"])))
+    return robot
+
+
+def _reference_fast_loss(robot, traj_ref, controls, keypoints):
+    """Transcription of the reference fast-path loss computation
+    (physics_train.py:313-368) run through the reference robot."""
+    import torch
+    sys.path.insert(0, REF)
+    from Utils.transformations import quaternion_to_euler as q2e  # oracle
+
+    loss_func = torch.nn.MSELoss()
+    traj = torch.tensor(traj_ref).float()
+    controls = torch.tensor(controls).float()
+    batch_len = traj.shape[0]
+    ys = traj[: batch_len - 1, 0:19, :]
+    zs = traj[: batch_len - 1, 19:, :]
+    y_prevs = torch.cat((ys[:1], ys[:-1]))
+    z_prevs = torch.cat((zs[:1], zs[:-1]))
+    Gs = traj[1:batch_len]
+    kp = np.array(keypoints)
+    grow_trajs = robot.parallelGetNextSegmentEuler(Gs, kp, {
+        "yh": robot.c1 * ys + robot.c2 * y_prevs,
+        "zh": robot.c1 * zs + robot.c2 * z_prevs,
+        "tendon_tensions": controls[: batch_len - 1],
+    })
+    grow_loss = 0
+    for i in range(batch_len - 1):
+        g = grow_trajs[i]
+        t = traj[i + 1]
+        grow_loss = grow_loss + (
+            loss_func(g[:3], t[:3, kp])
+            + loss_func(g[7:19], t[7:19, kp])
+            + loss_func(q2e(g[3:7]), q2e(t[3:7, kp]))
+            + loss_func(g[19:], t[19:, kp - 1]))
+    return float(grow_loss / (batch_len - 1))
+
+
+@pytest.mark.parametrize("mod", [None, "nsw"])
+def test_loss_parity_vs_reference_torch(mod):
+    """Same data + same MLP weights => same teacher-forced loss as the
+    reference parallelGetNextSegmentEuler fast path (float32 tolerance)."""
+    hidden = 32
+    ref = apply_mod(None)
+    p_mod = apply_mod(mod)
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=8)
+    spec = MLPSpec.for_knode(hidden)
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float32)
+
+    ours = float(teacher_forced_loss(
+        p_mod, spec, params,
+        jnp.asarray(trajs[0], jnp.float32),
+        jnp.asarray(ctls[0], jnp.float32), (3, 5, 7, 9)))
+
+    robot = _torch_robot_with_weights(mod, hidden, params)
+    # reference layout (T, 25, N)
+    traj_ref = np.swapaxes(np.asarray(trajs[0]), 1, 2)
+    theirs = _reference_fast_loss(robot, traj_ref, np.asarray(ctls[0]),
+                                  (3, 5, 7, 9))
+    assert ours == pytest.approx(theirs, rel=2e-4), (ours, theirs)
+
+
+def test_mlp_init_distribution():
+    spec = MLPSpec.for_knode(512)
+    params = init_mlp(spec, jax.random.PRNGKey(0))
+    w = np.asarray(params[0]["w"])
+    assert (w >= 0).all()
+    assert abs(float(w.mean()) - 0.0133) < 3e-3  # mean of |N(.01,.01)|
+
+
+def test_clamp_nonnegative():
+    spec = MLPSpec(dims=(4, 8, 4))
+    params = init_mlp(spec, jax.random.PRNGKey(1))
+    params = jax.tree.map(lambda x: x - 0.5, params)
+    clamped = clamp_nonnegative(params)
+    for layer in clamped:
+        assert (np.asarray(layer["w"]) >= 0).all()
+    # biases untouched
+    assert (np.asarray(clamped[0]["b"]) < 0).any()
+
+
+def test_training_reduces_loss_and_beats_baseline():
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=10)
+    cfg = TrainConfig(epochs=30, eval_every=1000, log_every=1000,
+                      hidden=64, dtype="float64")
+    res = train_knode(p_mod, trajs, ctls, cfg, log=None)
+    assert res.loss_history[-1] < res.loss_history[0] * 0.2
+
+
+def test_hybrid_rollout_runs():
+    """Closed-loop rollout with the MLP in the RHS stays finite."""
+    from knode_cosserat_tpu import calc_controls
+    p = apply_mod("nsw")
+    spec = MLPSpec.for_knode(32)
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float64)
+    # scale down the random init so the residual is a perturbation
+    params = jax.tree.map(lambda x: x * 0.01, params)
+    ctl = calc_controls("sine", 1.0, float(p.del_t), 8)
+    traj = np.asarray(rollout_with_nn(p, jnp.asarray(ctl), spec, params))
+    assert np.all(np.isfinite(traj))
+
+
+def test_gradients_nonzero_for_all_layers():
+    ref = apply_mod(None)
+    p_mod = apply_mod("youngs")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    spec = MLPSpec.for_knode(16)
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float64)
+    g = jax.grad(lambda q: teacher_forced_loss(
+        p_mod, spec, q, trajs[0], ctls[0]))(params)
+    for layer in g:
+        assert float(jnp.abs(layer["w"]).max()) > 0
+        assert float(jnp.abs(layer["b"]).max()) > 0
