@@ -1,0 +1,3 @@
+from .mesh import make_mesh, data_sharding, replicated, shard_params_tp
+from .sharded_train import ShardedTrainer
+from .grid import GridCell, GridResult, grid_train, build_grid

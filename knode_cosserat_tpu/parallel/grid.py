@@ -1,0 +1,146 @@
+"""Experiment-grid training: the (data x mod x seed) sweep as ONE program.
+
+Replaces the reference orchestrator physics_multitrain.py:85-157, which
+fan-outs `physics_train.py` subprocesses in batches of 2 and regex-parses
+their stdout. Here every grid cell is a vmap lane: rod parameters (the mods
+are just different RodParams leaf values with identical structure), data,
+and per-seed MLP params all stack, and the grid axis shards over the mesh's
+"data" axis. One jit step trains the WHOLE grid per epoch.
+"""
+from __future__ import annotations
+
+import dataclasses
+import itertools
+from functools import partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.params import RodParams, apply_mod
+from ..models.mlp import MLPSpec, clamp_nonnegative, init_mlp
+from ..training.data import TrajSpec, make_training_data, parse_traj_specs
+from ..training.loss import teacher_forced_loss
+from ..training.train import TrainConfig, make_optimizer
+from .mesh import data_sharding
+
+__all__ = ["GridCell", "GridResult", "grid_train", "build_grid"]
+
+
+@dataclasses.dataclass(frozen=True)
+class GridCell:
+    data: str            # trajectory spec string, e.g. "sine sine 0.5 1.0"
+    mod: Optional[str]   # parameter perturbation
+    seed: int
+
+
+@dataclasses.dataclass
+class GridResult:
+    cells: List[GridCell]
+    params: list                 # per-cell MLP params (unstacked)
+    loss_history: np.ndarray     # (epochs, n_cells)
+    spec: MLPSpec
+
+
+def build_grid(datas: Sequence[str], mods: Sequence[Optional[str]],
+               n_seeds: int) -> List[GridCell]:
+    """Grid enumeration order matching physics_multitrain.py:144-150."""
+    return [GridCell(d, m, s)
+            for d in datas for m in mods for s in range(n_seeds)]
+
+
+def _stack_pytrees(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def grid_train(
+    cells: Sequence[GridCell],
+    cfg: TrainConfig,
+    reference_rod: Optional[RodParams] = None,
+    train_len: int = 30,
+    mesh=None,
+    original: bool = False,
+    log=None,
+) -> GridResult:
+    """Train every grid cell simultaneously.
+
+    Data generation (per unique data spec) runs once on the reference rod;
+    each cell's trajectories get cell-specific noise drawn from its seed,
+    mirroring the per-process torch.manual_seed in the reference
+    (physics_train.py:180, --noise_traj/controls).
+    """
+    if reference_rod is None:
+        reference_rod = apply_mod(None, original=original)
+    dtype = jnp.dtype(cfg.dtype)
+    spec = cfg.spec()
+
+    # --- per-unique-data trajectories (reference-rod rollouts) ---
+    unique_datas = sorted({c.data for c in cells})
+    data_cache = {}
+    for d in unique_datas:
+        specs = parse_traj_specs(d.split(" "))
+        data_cache[d] = make_training_data(reference_rod, specs,
+                                           train_len=train_len)
+
+    n_traj = {len(v[0]) for v in data_cache.values()}
+    if len(n_traj) != 1:
+        raise ValueError(
+            "all grid data specs must have the same trajectory count to "
+            f"stack into one program; got {n_traj}. Run separate grids.")
+
+    # --- stack everything along the grid axis ---
+    rods = _stack_pytrees([apply_mod(c.mod, original=original).replace(
+        N=reference_rod.N) for c in cells])
+    trajs = jnp.stack([jnp.asarray(data_cache[c.data][0], dtype)
+                       for c in cells])          # (G, n_traj, T, N, 25)
+    ctls = jnp.stack([jnp.asarray(data_cache[c.data][1], dtype)
+                      for c in cells])           # (G, n_traj, T, 4)
+    params = _stack_pytrees([
+        init_mlp(spec, jax.random.PRNGKey(c.seed), dtype) for c in cells])
+
+    optimizer = make_optimizer(cfg)
+    opt_state = jax.vmap(optimizer.init)(params)
+
+    kp = tuple(cfg.keypoints)
+    clamp = cfg.clamp_weights
+
+    def cell_loss(rod, p_nn, traj, ctl):
+        per = jax.vmap(
+            lambda t, c: teacher_forced_loss(rod, spec, p_nn, t, c, kp)
+        )(traj, ctl)
+        return jnp.sum(per)
+
+    def cell_step(rod, p_nn, opt_s, traj, ctl):
+        loss, grads = jax.value_and_grad(cell_loss, argnums=1)(
+            rod, p_nn, traj, ctl)
+        updates, opt_s = optimizer.update(grads, opt_s, p_nn, value=loss)
+        p_nn = optax.apply_updates(p_nn, updates)
+        if clamp:
+            p_nn = clamp_nonnegative(p_nn)
+        return p_nn, opt_s, loss
+
+    vstep = jax.vmap(cell_step)
+
+    if mesh is not None:
+        shard = data_sharding(mesh, 1)
+        grid_shard = jax.tree.map(lambda _: shard, params)
+        params = jax.device_put(params, grid_shard)
+        step = jax.jit(vstep, donate_argnums=(1, 2))
+    else:
+        step = jax.jit(vstep, donate_argnums=(1, 2))
+
+    losses = []
+    for epoch in range(cfg.epochs):
+        params, opt_state, loss = step(rods, params, opt_state, trajs, ctls)
+        losses.append(np.asarray(loss))
+        if log and epoch % cfg.log_every == 0:
+            log(f"epoch {epoch} losses {losses[-1]}")
+
+    # unstack per-cell params
+    flat = jax.device_get(params)
+    per_cell = [jax.tree.map(lambda x, i=i: x[i], flat)
+                for i in range(len(cells))]
+    return GridResult(cells=list(cells), params=per_cell,
+                      loss_history=np.asarray(losses), spec=spec)

@@ -109,6 +109,44 @@ def make_train_step(p: RodParams, spec: MLPSpec, optimizer,
     return step, total_loss
 
 
+def make_epoch_scan(p: RodParams, spec: MLPSpec, optimizer,
+                    keypoints: Sequence[int], clamp: bool,
+                    n_epochs: int):
+    """Whole-training-run-on-device: ``lax.scan`` over epochs so there is no
+    per-epoch host dispatch at all — the TPU-idiomatic training loop. The
+    reference pays a Python loop + torch dispatch per epoch
+    (physics_train.py:307-408); here E epochs are one XLA program.
+
+    Returns jitted fn: (params, opt_state, trajs, controls) ->
+    (params, opt_state, losses (E,))."""
+    kp = tuple(keypoints)
+
+    def total_loss(params, trajs, controls):
+        per = jax.vmap(
+            lambda t, c: teacher_forced_loss(p, spec, params, t, c, kp)
+        )(trajs, controls)
+        return jnp.sum(per)
+
+    @jax.jit
+    def run(params, opt_state, trajs, controls):
+        def body(carry, _):
+            params, opt_state = carry
+            loss, grads = jax.value_and_grad(total_loss)(params, trajs,
+                                                         controls)
+            updates, opt_state = optimizer.update(grads, opt_state, params,
+                                                  value=loss)
+            params = optax.apply_updates(params, updates)
+            if clamp:
+                params = clamp_nonnegative(params)
+            return (params, opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n_epochs)
+        return params, opt_state, losses
+
+    return run
+
+
 @partial(jax.jit, static_argnames=("spec", "method", "max_iter"))
 def rollout_with_nn(p: RodParams, controls, spec: MLPSpec, nn_params,
                     method: str = "euler", tol: float = 1e-16,
