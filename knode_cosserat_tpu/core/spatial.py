@@ -152,8 +152,10 @@ def next_segment_euler(
     Returns:
       y_grown: (..., M, 19) = y + ds * ODE(y); z_new: (..., M, 6).
     """
-    if jnp.ndim(tendon_forces) >= 1 and tendon_forces.shape[:-1] != y_next_truth.shape[:-2]:
-        pass  # rely on standard broadcasting
-    tf = tendon_forces if jnp.ndim(tendon_forces) == 1 else tendon_forces[..., None, :]
+    tf = jnp.asarray(tendon_forces)
+    if tf.ndim > 1 and tf.shape[:-1] == y_next_truth.shape[:-2]:
+        # per-(batch) forces shared across the node axis -> insert it
+        tf = tf[..., None, :]
+    # else: (3,) constant or already aligned with y's batch shape
     dy, z_new = rhs(p, y_next_truth, yh, zh, tf, nn_fn, nn_history)
     return y_next_truth + p.ds * dy, z_new
