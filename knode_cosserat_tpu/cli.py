@@ -1,0 +1,339 @@
+"""Command-line interface — one `knode` entry point whose subcommands cover
+every reference script:
+
+  simulate    rollout + save + optional animation   (simulate.py)
+  train       sim-data KNODE training               (physics_train.py)
+  multitrain  (data x mod x seed) grid + eval table (physics_multitrain.py)
+  graphs      cross-seed aggregation tables         (physics_multigraphs.py)
+  prepare     experiment ingestion -> datas/*.npz   (prepare.py)
+  estimate    pose-only -> full-state estimation    (estimate_state.py)
+  train-real  real-data KNODE training              (train_segment.py)
+  bench       headline benchmark JSON line          (bench.py)
+
+Run as `python -m knode_cosserat_tpu <cmd> ...`.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+
+def _add_train_args(sp):
+    sp.add_argument("control_type_arg", nargs="+",
+                    help='trajectories, e.g. "sine sine 0.5 1.0"')
+    sp.add_argument("--mod", type=str, default=None)
+    sp.add_argument("--original", action="store_true")
+    sp.add_argument("--epochs", type=int, default=2000)
+    sp.add_argument("--weight_decay", type=float, default=0.0)
+    sp.add_argument("--noise_traj", type=float, default=0.0)
+    sp.add_argument("--noise_controls", type=float, default=0.0)
+    sp.add_argument("--layers", type=int, default=512)
+    sp.add_argument("--validation", type=str, default=None)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--eval", action=argparse.BooleanOptionalAction,
+                    default=True)
+    sp.add_argument("--save_dir", type=str, default="saved_models")
+    sp.add_argument("--train_len", type=int, default=30)
+    sp.add_argument("--dtype", type=str, default="float32")
+
+
+def cmd_train(args):
+    import jax
+    from .config import DataConfig, EvalConfig, ExperimentConfig, RodConfig
+    from .core.params import apply_mod
+    from .training import (TrainConfig, make_training_data,
+                           make_validation_reference, parse_traj_specs,
+                           train_knode)
+    from .training.checkpoint import save_checkpoint
+
+    specs = parse_traj_specs(args.control_type_arg)
+    validation = args.validation or ("sine 0.1" if args.original
+                                     else "sine 1.25")
+    vkind, varg = validation.split(" ")
+
+    cfg = ExperimentConfig(
+        rod=RodConfig(mod=args.mod, original=args.original),
+        data=DataConfig(specs=specs, train_len=args.train_len,
+                        noise_traj=args.noise_traj,
+                        noise_controls=args.noise_controls),
+        train=TrainConfig(epochs=args.epochs, hidden=args.layers,
+                          weight_decay=args.weight_decay, seed=args.seed,
+                          dtype=args.dtype),
+        eval=EvalConfig(validation=(vkind, float(varg))),
+    )
+    ref = apply_mod(None, original=args.original)
+    p_mod = cfg.rod.build()
+    trajs, ctls = make_training_data(
+        ref, specs, train_len=args.train_len, noise_traj=args.noise_traj,
+        noise_controls=args.noise_controls,
+        key=jax.random.PRNGKey(args.seed))
+    vc = vr = None
+    if args.eval:
+        vc, vr = make_validation_reference(ref, (vkind, float(varg)))
+    res = train_knode(p_mod, trajs, ctls, cfg.train, vc, vr, eval_rod=p_mod)
+
+    path = os.path.join(args.save_dir, cfg.short_name())
+    save_checkpoint(path, {
+        "params": res.best_params if args.eval else res.params,
+        "loss": res.loss_history,
+        "dtw": res.dtw_history,
+    }, meta=cfg.to_dict())
+    print(f"saved {path}.npz (best DTW {res.best_dtw})")
+
+
+def cmd_simulate(args):
+    from .controls import calc_controls
+    from .core.params import apply_mod
+    from .core.stepper import simulate
+    from .models import MLPSpec
+    from .training.checkpoint import load_checkpoint
+    from .training.train import rollout_with_nn
+
+    p = apply_mod(args.mod, original=args.original)
+    if args.real_data:
+        data = np.load(args.real_data, allow_pickle=True)
+        controls = np.asarray(data["controls"])[: args.steps]
+    else:
+        controls = calc_controls(args.type, args.arg, float(p.del_t),
+                                 args.steps)
+    if args.model:
+        import jax.numpy as jnp
+        ckpt, meta = load_checkpoint(args.model)
+        hidden = meta.get("train", {}).get("hidden", 512)
+        spec = MLPSpec.for_knode(int(hidden))
+        params = tuple({"w": jnp.asarray(l["w"], p.dtype),
+                        "b": jnp.asarray(l["b"], p.dtype)}
+                       for l in ckpt["params"])
+        traj = np.asarray(rollout_with_nn(p, jnp.asarray(controls, p.dtype),
+                                          spec, params))
+    else:
+        traj = np.asarray(simulate(p, controls))
+    os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+    np.savez_compressed(args.save, traj=traj, controls=controls)
+    print(f"saved {args.save}: traj {traj.shape}")
+    if args.gif:
+        from .viz.visualizer import ContinuumRobotVisualizer
+        out = ContinuumRobotVisualizer(traj[:, :, :25], p).save_as_gif(
+            args.gif, max_frames=100)
+        print(f"saved {out}")
+
+
+def cmd_multitrain(args):
+    from .core.params import apply_mod
+    from .evaluation.tables import evaluate_cells, format_table
+    from .parallel.grid import build_grid, grid_train
+    from .training import TrainConfig
+    from .training.checkpoint import save_checkpoint
+
+    datas = (["sine sine 0.05 0.15", "sine sine random 0.05 0.15 0.0"]
+             if args.original else
+             ["sine sine 0.5 1.0", "sine sine random 0.5 1.0 0.0"])
+    eval_set = (["sine 0.2", "step 1.5"] if args.original
+                else ["sine 1.5", "step 1.5"])
+    mods = ["nsw", "short", "youngs", "lengthstiff"]
+
+    cells = build_grid(datas, mods, args.n_seeds)
+    cfg = TrainConfig(epochs=args.epochs, hidden=args.layers,
+                      dtype=args.dtype)
+    ref = apply_mod(None, original=args.original)
+    res = grid_train(cells, cfg, reference_rod=ref, original=args.original,
+                     log=print if args.verbose else None)
+    os.makedirs(args.save_dir, exist_ok=True)
+    for cell, params in zip(res.cells, res.params):
+        name = (f"{cell.data}_{cell.mod}_{cell.seed}").replace(" ", "-")
+        save_checkpoint(os.path.join(args.save_dir, name),
+                        {"params": params})
+    if args.eval:
+        records = evaluate_cells(res.cells, res.params, res.spec, eval_set,
+                                 reference_rod=ref, original=args.original,
+                                 save_dir=args.evals_dir)
+        print(format_table(records))
+
+
+def cmd_graphs(args):
+    from .evaluation.metrics import pose_mse, tip_dtw
+    from .evaluation.tables import EvalRecord, aggregate_seeds, format_table
+
+    records = []
+    for fname in sorted(os.listdir(args.evals_dir)):
+        if not fname.endswith(".npz"):
+            continue
+        d = np.load(os.path.join(args.evals_dir, fname))
+        stem = fname[:-4]
+        evall, label = stem.split("+", 1)
+        evall = evall.replace("physics_original_", "").replace(
+            "physics_", "").replace("_", " ")
+        records.append(EvalRecord(
+            label=label.replace("_", " "), eval_name=evall,
+            dtw=tip_dtw(d["predicted"], d["reference"]),
+            mse=pose_mse(d["predicted"], d["reference"])))
+    print(format_table(aggregate_seeds(records)))
+
+
+def cmd_prepare(args):
+    from .core.params import apply_mod
+    from .core.stepper import simulate
+    from .evaluation.metrics import fastdtw
+    from .realworld.bag import read_bag, read_topic_csvs
+
+    p = apply_mod(None)
+    if os.path.isdir(args.experiment):
+        data = read_topic_csvs(args.experiment, float(p.del_t),
+                               args.experiment)
+    else:
+        data = read_bag(args.experiment, float(p.del_t))
+    traj = np.asarray(simulate(p, data["controls"]))
+    name = os.path.basename(args.experiment.rstrip("/"))
+    os.makedirs(args.out_dir, exist_ok=True)
+    out = os.path.join(args.out_dir, f"{name}.npz")
+    np.savez_compressed(out, t=data["t"], traj=traj,
+                        controls=data["controls"],
+                        interpolated=data["interpolated"],
+                        positions=data["positions"])
+    tip = data["interpolated"][:, 0:3, 9]
+    T = min(len(traj), len(tip))
+    print("DTW Distance XYZ",
+          fastdtw(np.asarray(traj)[:T, -1, :3], tip[:T])[0])
+    print(f"saved {out}")
+
+
+def cmd_estimate(args):
+    from .core.params import make_rod
+    from .realworld.curve import fit_curve
+    from .realworld.estimate import estimate_state
+
+    rod = make_rod()  # the reference uses CosseratRod() defaults here
+    d = np.load(os.path.join(args.data_dir, args.data_name + ".npz"),
+                allow_pickle=True)
+    interpolated = d["interpolated"]
+    controls = d["controls"]
+    measured_loc = [0, 3.23, 5.13, 7.07, 9]  # estimate_state.py:258
+    partial = np.stack([interpolated[:, :, i] for i in [0, 3, 5, 7, 9]],
+                       axis=2)
+    full_grid = fit_curve(partial, measured_loc, rod.N)
+    est, vstar = estimate_state(full_grid, controls, rod)
+    out = os.path.join(args.data_dir, args.data_name + "_estimated.npz")
+    np.savez_compressed(out, traj=est, controls=controls, vstar=vstar)
+    print(f"saved {out}")
+
+
+def cmd_train_real(args):
+    import jax
+    import jax.numpy as jnp
+    from .core.params import apply_mod
+    from .training import DEFAULT_KEYPOINTS_REAL, TrainConfig, train_knode
+    from .training.checkpoint import save_checkpoint
+
+    presets = {
+        "sinesine": ["sin_1_0_amp_300", "sin_3_0_amp_300"],
+        "sinesinerand": ["sin_1_0_amp_300", "sin_3_0_amp_300", "rand_0_60s"],
+        "sinesinestep": ["sin_1_0_amp_300", "sin_3_0_amp_300",
+                         "dir_a_tension_950"],
+        "sinesinestepstep": ["sin_1_0_amp_300", "sin_3_0_amp_300",
+                             "dir_a_tension_950", "dir_a_tension_1250"],
+    }
+    names = presets.get(args.data, [args.data])
+    trajs, ctls = [], []
+    trim = 100  # train_segment.py:36
+    for n in names:
+        d = np.load(os.path.join(args.data_dir, n + "_estimated.npz"),
+                    allow_pickle=True)
+        t = d["traj"][trim:args.train_len + trim, :25]
+        trajs.append(np.moveaxis(t, 1, 2))       # -> (T, N, 25)
+        ctls.append(d["controls"][trim:args.train_len + trim])
+    trajs = jnp.asarray(np.stack(trajs))
+    ctls = jnp.asarray(np.stack(ctls))
+    key = jax.random.PRNGKey(args.seed)
+    trajs = trajs + args.noise_traj * jax.random.normal(key, trajs.shape,
+                                                        trajs.dtype)
+
+    p = apply_mod(args.mod)
+    cfg = TrainConfig(epochs=args.epochs, hidden=args.layers,
+                      weight_decay=args.weight_decay, seed=args.seed,
+                      keypoints=DEFAULT_KEYPOINTS_REAL, dtype=args.dtype)
+    res = train_knode(p, trajs, ctls, cfg)
+    save_checkpoint(args.save_path, {"params": res.params,
+                                     "loss": res.loss_history})
+    print(f"saved {args.save_path} (final loss {res.loss_history[-1]:.3e})")
+
+
+def main(argv=None):
+    # honor an explicit platform request (the axon TPU plugin ignores
+    # JAX_PLATFORMS, so we route through jax.config)
+    plat = os.environ.get("KNODE_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+        if os.environ.get("KNODE_X64"):
+            jax.config.update("jax_enable_x64", True)
+
+    ap = argparse.ArgumentParser(prog="knode-cosserat-tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("train", help="sim-data KNODE training")
+    _add_train_args(sp)
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("simulate", help="forward rollout")
+    sp.add_argument("--type", type=str, default="sine")
+    sp.add_argument("--arg", type=float, default=1.0)
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--mod", type=str, default=None)
+    sp.add_argument("--original", action="store_true")
+    sp.add_argument("--model", type=str, default=None)
+    sp.add_argument("--real_data", type=str, default=None)
+    sp.add_argument("--save", type=str, default="data/quick_test.npz")
+    sp.add_argument("--gif", type=str, default=None)
+    sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("multitrain", help="experiment grid + eval table")
+    sp.add_argument("--epochs", type=int, default=1000)
+    sp.add_argument("--n_seeds", type=int, default=1)
+    sp.add_argument("--layers", type=int, default=512)
+    sp.add_argument("--original", action="store_true")
+    sp.add_argument("--eval", action=argparse.BooleanOptionalAction,
+                    default=True)
+    sp.add_argument("--verbose", action="store_true")
+    sp.add_argument("--save_dir", type=str, default="saved_models")
+    sp.add_argument("--evals_dir", type=str, default="evals")
+    sp.add_argument("--dtype", type=str, default="float32")
+    sp.set_defaults(fn=cmd_multitrain)
+
+    sp = sub.add_parser("graphs", help="aggregate eval records")
+    sp.add_argument("--evals_dir", type=str, default="evals")
+    sp.set_defaults(fn=cmd_graphs)
+
+    sp = sub.add_parser("prepare", help="ingest physical experiment data")
+    sp.add_argument("experiment", type=str)
+    sp.add_argument("--out_dir", type=str, default="datas")
+    sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("estimate", help="full-state estimation")
+    sp.add_argument("data_name", type=str)
+    sp.add_argument("--data_dir", type=str, default="datas")
+    sp.set_defaults(fn=cmd_estimate)
+
+    sp = sub.add_parser("train-real", help="real-data KNODE training")
+    sp.add_argument("--data", type=str, default="sinesine")
+    sp.add_argument("--data_dir", type=str, default="datas")
+    sp.add_argument("--epochs", type=int, default=300)
+    sp.add_argument("--layers", type=int, default=512)
+    sp.add_argument("--weight_decay", type=float, default=1e-1)
+    sp.add_argument("--train_len", type=int, default=120)
+    sp.add_argument("--noise_traj", type=float, default=0.01)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--mod", type=str, default=None)
+    sp.add_argument("--save_path", type=str,
+                    default="saved_models/quick_test")
+    sp.add_argument("--dtype", type=str, default="float32")
+    sp.set_defaults(fn=cmd_train_real)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -119,7 +119,8 @@ def pose_mse(pred_traj, ref_traj):
         else:
             pos = np.moveaxis(t[:, :3], 1, 2).reshape(-1, 3)
             quat = np.moveaxis(t[:, 3:7], 1, 2).reshape(-1, 4)
-        return pos, quat
+        # scipy Rotation requires writable buffers; jax-backed views are not
+        return np.array(pos), np.array(quat)
 
     ppos, pquat = split(pred_traj)
     rpos, rquat = split(ref_traj)

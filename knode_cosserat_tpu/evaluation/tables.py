@@ -1,0 +1,196 @@
+"""Experiment-grid evaluation: DTW/pose-MSE tables vs the no-NN baseline.
+
+Rebuild of the eval sweeps in physics_multitrain.py:169-233 (per-cell
+rollout -> fastdtw + pose MSE -> % change vs baseline table, records saved
+to evals/) and the cross-seed aggregation in physics_multigraphs.py:99-148.
+Rollouts for all grid cells are batched on device via vmap; metrics are
+host-side.
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..controls import calc_controls
+from ..core.params import RodParams, apply_mod
+from ..core.stepper import simulate, simulate_scan
+from ..models.mlp import MLPSpec, bind
+from .metrics import pct_error, pose_mse, tip_dtw
+
+__all__ = ["EvalRecord", "make_eval_data", "evaluate_cells",
+           "format_table", "aggregate_seeds"]
+
+
+@dataclasses.dataclass
+class EvalRecord:
+    label: str            # e.g. "sine sine 0.5 1.0 nsw 0" or "baseline nsw"
+    eval_name: str        # e.g. "sine 1.5"
+    dtw: float
+    mse: float
+    dtw_pct: Optional[float] = None   # vs the matching baseline
+    mse_pct: Optional[float] = None
+    tensions: Optional[np.ndarray] = None
+    reference: Optional[np.ndarray] = None
+    predicted: Optional[np.ndarray] = None
+
+
+def make_eval_data(reference_rod: RodParams, eval_set: Sequence[str],
+                   eval_len: int = 100) -> Dict[str, dict]:
+    """Reference rollouts for each eval schedule (calc_evaldata,
+    physics_multitrain.py:132-138)."""
+    out = {}
+    for name in eval_set:
+        kind, arg = name.split(" ")
+        controls = calc_controls(kind, float(arg),
+                                 float(reference_rod.del_t), eval_len)
+        traj = np.asarray(simulate(reference_rod, controls))[:, :, :25]
+        out[name] = {"controls": controls, "interpolated": traj}
+    return out
+
+
+def _batched_nn_rollouts(rods, spec: MLPSpec, params_stacked, controls):
+    """vmap the hybrid rollout over stacked rods + per-cell MLP params."""
+    def one(rod, nn_params):
+        nn_fn = bind(spec, nn_params)
+        return simulate_scan(rod, controls, nn_fn=nn_fn,
+                             nn_history=spec.history).traj
+    return jax.jit(jax.vmap(one))(rods, params_stacked)
+
+
+def evaluate_cells(
+    cells,                       # Sequence[GridCell]
+    params_list,                 # per-cell MLP params
+    spec: MLPSpec,
+    eval_set: Sequence[str],
+    reference_rod: Optional[RodParams] = None,
+    eval_len: int = 100,
+    original: bool = False,
+    save_dir: Optional[str] = None,
+    keep_arrays: bool = False,
+) -> List[EvalRecord]:
+    """Roll out every trained cell + every no-NN baseline on every eval
+    schedule; score DTW + pose MSE with % change vs the baseline of the same
+    mod (physics_multitrain.py:178-233)."""
+    if reference_rod is None:
+        reference_rod = apply_mod(None, original=original)
+    dtype = reference_rod.dtype
+    eval_data = make_eval_data(reference_rod, eval_set, eval_len)
+
+    mods = sorted({c.mod for c in cells}, key=str)
+    records: List[EvalRecord] = []
+    baselines: Dict[Tuple[str, Optional[str]], Dict[str, float]] = {}
+
+    for eval_name in eval_set:
+        controls = jnp.asarray(eval_data[eval_name]["controls"], dtype)
+        ref_traj = eval_data[eval_name]["interpolated"]
+
+        # --- baselines: modified rods, no NN, batched over mods ---
+        rods_b = jax.tree.map(lambda *xs: jnp.stack(xs),
+                              *[apply_mod(m, original=original) for m in mods])
+        base_trajs = jax.jit(jax.vmap(
+            lambda rod: simulate_scan(rod, controls).traj))(rods_b)
+        for mod, traj in zip(mods, np.asarray(base_trajs)):
+            dtw = tip_dtw(traj[:, :, :25], ref_traj)
+            mse = pose_mse(traj[:, :, :25], ref_traj)
+            baselines[(eval_name, mod)] = {"dtw": dtw, "mse": mse}
+            records.append(_record(f"baseline {mod}", eval_name, dtw, mse,
+                                   None, None, eval_data[eval_name], traj,
+                                   save_dir, keep_arrays, original))
+
+        # --- trained cells, batched ---
+        if cells:
+            rods_c = jax.tree.map(
+                lambda *xs: jnp.stack(xs),
+                *[apply_mod(c.mod, original=original) for c in cells])
+            params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
+            cell_trajs = np.asarray(_batched_nn_rollouts(
+                rods_c, spec, params_st, controls))
+            for cell, traj in zip(cells, cell_trajs):
+                dtw = tip_dtw(traj[:, :, :25], ref_traj)
+                mse = pose_mse(traj[:, :, :25], ref_traj)
+                base = baselines[(eval_name, cell.mod)]
+                records.append(_record(
+                    f"{cell.data} {cell.mod} {cell.seed}", eval_name, dtw,
+                    mse, pct_error(dtw, base["dtw"]),
+                    pct_error(mse, base["mse"]), eval_data[eval_name], traj,
+                    save_dir, keep_arrays, original))
+    return records
+
+
+def _record(label, eval_name, dtw, mse, dtw_pct, mse_pct, eval_data, traj,
+            save_dir, keep_arrays, original):
+    rec = EvalRecord(label=label, eval_name=eval_name, dtw=dtw, mse=mse,
+                     dtw_pct=dtw_pct, mse_pct=mse_pct)
+    if keep_arrays:
+        rec.tensions = eval_data["controls"]
+        rec.reference = eval_data["interpolated"]
+        rec.predicted = traj[:, :, :25]
+    if save_dir:
+        os.makedirs(save_dir, exist_ok=True)
+        prefix = "physics_original" if original else "physics"
+        fname = (eval_name.replace(" ", "_") + "+"
+                 + label.replace(" ", "_"))
+        np.savez_compressed(
+            os.path.join(save_dir, f"{prefix}_{fname}.npz"),
+            tensions=eval_data["controls"],
+            reference=eval_data["interpolated"],
+            predicted=traj[:, :, :25])
+    return rec
+
+
+def format_table(records: List[EvalRecord], space: int = 40) -> str:
+    """The semicolon-padded text table (physics_multitrain.py:172-233)."""
+    eval_names = sorted({r.eval_name for r in records})
+    labels = list(dict.fromkeys(r.label for r in records))
+    by = {(r.label, r.eval_name): r for r in records}
+
+    lines = [" " * space + "".join(
+        (";" + e + " DTW").ljust(20) + (";" + e + " PQ MSE").ljust(20)
+        for e in eval_names)]
+    for label in labels:
+        row = label.ljust(space)
+        for e in eval_names:
+            r = by.get((label, e))
+            if r is None:
+                row += ";-".ljust(40)
+            elif r.dtw_pct is None:
+                row += f";{r.dtw:.2f}".ljust(20) + f";{r.mse:.2f}".ljust(20)
+            else:
+                row += (f";{r.dtw:.2f} ({r.dtw_pct:+.1f}%)".ljust(20)
+                        + f";{r.mse:.2f} ({r.mse_pct:+.1f}%)".ljust(20))
+        lines.append(row)
+    return "\n".join(lines)
+
+
+def aggregate_seeds(records: List[EvalRecord]) -> List[EvalRecord]:
+    """Average DTW/MSE across seeds per (data, mod, eval) and recompute %
+    change vs the baseline (physics_multigraphs.py:108-148)."""
+    def strip_seed(label: str) -> str:
+        parts = label.split(" ")
+        return " ".join(parts[:-1]) if parts[-1].isdigit() else label
+
+    groups: Dict[Tuple[str, str], List[EvalRecord]] = {}
+    baselines = {}
+    for r in records:
+        if r.label.startswith("baseline"):
+            baselines[(r.label, r.eval_name)] = r
+        else:
+            groups.setdefault((strip_seed(r.label), r.eval_name),
+                              []).append(r)
+
+    out = list(baselines.values())
+    for (label, eval_name), rs in groups.items():
+        dtw = float(np.mean([r.dtw for r in rs]))
+        mse = float(np.mean([r.mse for r in rs]))
+        mod = label.split(" ")[-1]
+        base = baselines.get((f"baseline {mod}", eval_name))
+        out.append(EvalRecord(
+            label=label, eval_name=eval_name, dtw=dtw, mse=mse,
+            dtw_pct=pct_error(dtw, base.dtw) if base else None,
+            mse_pct=pct_error(mse, base.mse) if base else None))
+    return out

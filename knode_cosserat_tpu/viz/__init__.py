@@ -1,0 +1,2 @@
+from .visualizer import (ContinuumRobotVisualizer, plot_2d,
+                         plot_training_curves, visualize_2d)

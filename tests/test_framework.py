@@ -1,0 +1,181 @@
+"""Framework-level tests: checkpointing, eval tables, config, CLI, viz,
+metrics, multi-device grid."""
+import json
+import os
+import subprocess
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu import apply_mod
+from knode_cosserat_tpu.config import ExperimentConfig
+from knode_cosserat_tpu.evaluation import (aggregate_seeds, dtw,
+                                           evaluate_cells, fastdtw,
+                                           format_table, pct_error, pose_mse,
+                                           tip_dtw)
+from knode_cosserat_tpu.models import MLPSpec, init_mlp
+from knode_cosserat_tpu.parallel import build_grid
+from knode_cosserat_tpu.training.checkpoint import (load_checkpoint,
+                                                    save_checkpoint)
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+# ---------------- checkpoint ----------------
+
+def test_checkpoint_roundtrip(tmp_path):
+    import optax
+    spec = MLPSpec.for_knode(16)
+    params = init_mlp(spec, jax.random.PRNGKey(0))
+    opt = optax.adam(1e-2)
+    opt_state = opt.init(params)
+    tree = {"params": params, "opt": opt_state, "loss": np.arange(5.0),
+            "note": "hello", "none": None}
+    path = save_checkpoint(str(tmp_path / "ckpt"), tree,
+                           meta={"epochs": 3})
+    loaded, meta = load_checkpoint(path, like=tree)
+    assert meta == {"epochs": 3}
+    for a, b in zip(jax.tree.leaves(tree), jax.tree.leaves(loaded)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # structure preserved with like=
+    assert isinstance(loaded["params"], tuple)
+    assert loaded["note"] == "hello"
+
+
+def test_checkpoint_load_without_like(tmp_path):
+    tree = {"a": jnp.ones(3), "b": [jnp.zeros(2), 5]}
+    path = save_checkpoint(str(tmp_path / "c2"), tree)
+    loaded, _ = load_checkpoint(path)
+    np.testing.assert_array_equal(loaded["a"], np.ones(3))
+    assert loaded["b"][1] == 5
+
+
+# ---------------- metrics ----------------
+
+def test_dtw_identical_is_zero():
+    x = np.random.RandomState(0).randn(50, 3)
+    assert dtw(x, x)[0] == 0.0
+    assert fastdtw(x, x)[0] == 0.0
+
+
+def test_dtw_known_value():
+    x = np.array([[0.0], [1.0], [2.0]])
+    y = np.array([[0.0], [2.0]])
+    # alignment (0,0),(1,0|1),(2,1): best = |1-0| + ... = 1.0
+    d, path = dtw(x, y)
+    assert d == pytest.approx(1.0)
+    assert path[0] == (0, 0) and path[-1] == (2, 1)
+
+
+def test_fastdtw_close_to_exact():
+    rng = np.random.RandomState(1)
+    x = np.cumsum(rng.randn(120, 3), axis=0)
+    y = np.cumsum(rng.randn(100, 3), axis=0)
+    exact = dtw(x, y)[0]
+    approx = fastdtw(x, y)[0]
+    assert approx >= exact - 1e-9
+    assert approx <= exact * 1.3
+
+
+def test_pose_mse_layouts_agree():
+    rng = np.random.RandomState(2)
+    a = rng.randn(6, 25, 10)
+    a[:, 3:7] += 2.0
+    b = a + 0.01
+    ours_ref_layout = pose_mse(b, a)
+    ours_state_last = pose_mse(np.swapaxes(b, 1, 2), np.swapaxes(a, 1, 2))
+    assert ours_ref_layout == pytest.approx(ours_state_last)
+
+
+def test_pct_error():
+    assert pct_error(110, 100) == pytest.approx(10)
+    assert pct_error(0, 0) == 0
+    assert pct_error(1, 0) == float("inf")
+
+
+# ---------------- eval tables ----------------
+
+def test_evaluate_cells_and_table(tmp_path):
+    cells = build_grid(["sine 0.5"], ["nsw"], 1)
+    spec = MLPSpec.for_knode(16)
+    params = [jax.tree.map(lambda x: x * 1e-3,
+                           init_mlp(spec, jax.random.PRNGKey(0),
+                                    jnp.float64))]
+    records = evaluate_cells(cells, params, spec, ["sine 1.5"],
+                             eval_len=12, save_dir=str(tmp_path))
+    assert len(records) == 2  # baseline + 1 cell
+    base = [r for r in records if r.label.startswith("baseline")][0]
+    cell = [r for r in records if not r.label.startswith("baseline")][0]
+    assert cell.dtw_pct is not None
+    table = format_table(records)
+    assert "baseline nsw" in table and "sine 1.5 DTW" in table
+    agg = aggregate_seeds(records)
+    assert len(agg) == 2
+    assert len(list(tmp_path.glob("*.npz"))) == 2
+
+
+# ---------------- config ----------------
+
+def test_experiment_config_roundtrip(tmp_path):
+    cfg = ExperimentConfig()
+    cfg.data.specs = [("sine", 0.5), ("random", 0.0)]
+    cfg.train.epochs = 7
+    path = str(tmp_path / "cfg.json")
+    cfg.save(path)
+    cfg2 = ExperimentConfig.load(path)
+    assert cfg2.data.specs == [("sine", 0.5), ("random", 0.0)]
+    assert cfg2.train.epochs == 7
+    assert cfg2.short_name().startswith("physics_sine-random")
+
+
+# ---------------- viz (headless) ----------------
+
+def test_viz_smoke(tmp_path, monkeypatch):
+    monkeypatch.setenv("MPLBACKEND", "Agg")
+    from knode_cosserat_tpu import calc_controls, simulate
+    from knode_cosserat_tpu.viz import (ContinuumRobotVisualizer, plot_2d,
+                                        plot_training_curves, visualize_2d)
+    p = apply_mod(None)
+    traj = np.asarray(simulate(p, calc_controls("sine", 1.0,
+                                                float(p.del_t), 5)))
+    f = visualize_2d(p, traj[2], 2, out_dir=str(tmp_path))
+    assert os.path.exists(f)
+    fig = plot_2d([traj[:, :, :25]], legend=["sim"], markers=["."],
+                  title=str(tmp_path / "t"), save=False)
+    assert fig is not None
+    fig2 = plot_training_curves(np.random.rand(3, 20))
+    assert fig2 is not None
+    gif = ContinuumRobotVisualizer(traj[:, :, :25], p).save_as_gif(
+        str(tmp_path / "anim.gif"), max_frames=3)
+    assert os.path.exists(gif)
+
+
+# ---------------- CLI (subprocess smoke) ----------------
+
+@pytest.mark.parametrize("argv", [
+    ["simulate", "--type", "sine", "--arg", "1.0", "--steps", "5"],
+])
+def test_cli_simulate(tmp_path, argv):
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", *argv,
+         "--save", str(tmp_path / "out.npz")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert (tmp_path / "out.npz").exists()
+
+
+def test_cli_train_tiny(tmp_path):
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "train",
+         "sine", "0.5", "--epochs", "2", "--layers", "8", "--no-eval",
+         "--train_len", "6", "--save_dir", str(tmp_path)],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert list(tmp_path.glob("*.npz")), out.stdout
