@@ -1,0 +1,113 @@
+"""Software-in-the-loop tests of the portable C++ firmware core."""
+import shutil
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+from knode_cosserat_tpu.hw.bridge import (AutoTare, ExperimentGenerator,
+                                          FirmwareCore, SimulatedWinchPlant,
+                                          run_control_loop)
+
+
+def test_pid_reaches_setpoint():
+    core = FirmwareCore()
+    core.set_setpoints([300, 500, 800, 400])
+    # low-leak plant: the reference KI=0.005 integrates slowly, so a leaky
+    # plant would need ~100 s to close the last few percent
+    plant = SimulatedWinchPlant(leak=0.05)
+    t, readings, pwm = run_control_loop(core, plant, duration=3.0)
+    final = readings[-1]
+    np.testing.assert_allclose(final, [300, 500, 800, 400], rtol=0.05)
+    assert not core.estopped
+
+
+def test_serial_protocol_parse():
+    core = FirmwareCore()
+    assert core.parse_line("100 200 300 400")
+    np.testing.assert_array_equal(core.setpoints(), [100, 200, 300, 400])
+    assert not core.parse_line("garbage")
+    # unchanged after a bad line
+    np.testing.assert_array_equal(core.setpoints(), [100, 200, 300, 400])
+
+
+def test_estop_triggers_and_latches():
+    core = FirmwareCore()
+    pwm = core.step([100, 100, 2400, 100], dt=0.001)
+    # reverse pulse on ALL motors (firmware.ino:105)
+    np.testing.assert_allclose(pwm, [-0.4] * 4)
+    assert core.estopped
+    # after the 0.5 s reverse window: halted at zero forever
+    for _ in range(600):
+        pwm = core.step([0, 0, 0, 0], dt=0.001)
+    np.testing.assert_allclose(pwm, [0.0] * 4)
+    assert core.estopped
+    # new setpoints don't resurrect it
+    core.parse_line("100 100 100 100")
+    pwm = core.step([0, 0, 0, 0], dt=0.001)
+    np.testing.assert_allclose(pwm, [0.0] * 4)
+
+
+def test_anti_windup_bounds_integral():
+    core = FirmwareCore()
+    core.set_setpoints([2000, 2000, 2000, 2000])
+    # long stall at zero tension: integral must clamp, not diverge
+    for _ in range(20000):
+        pwm = core.step([0, 0, 0, 0], dt=0.01)
+    assert np.all(np.abs(pwm) <= 1.0)
+
+
+def test_telemetry_format():
+    core = FirmwareCore()
+    core.step([1, 2, 3, 4], dt=0.001)
+    line = core.telemetry()
+    assert line is not None
+    parts = line.split(",")
+    assert len(parts) == 9
+    assert float(parts[0]) == pytest.approx(1.0)
+    # next 9 iterations are silent (telemetry every 10th, firmware.ino:74)
+    silent = [core.telemetry() is None
+              for _ in range(9)
+              if core.step([1, 2, 3, 4], dt=0.001) is not None]
+    assert all(silent)
+
+
+def test_autotare_sequence():
+    tare = AutoTare()
+    reading = 0.0
+    pwms = []
+    # phase 1: tension climbs slowly, then jumps (cable engages)
+    for r in [0, 2, 4, 6, 50, 55]:
+        pwms.append(tare.step(r))
+        if tare.done:
+            break
+    assert any(p == pytest.approx(0.2) for p in pwms)  # tension-up drive
+    # after the +30 jump it backs off at -0.1 until stable
+    p = tare.step(40.0)
+    assert p == pytest.approx(-0.1)
+    p = tare.step(39.0)  # change < 5 -> done
+    assert p == 0.0
+    assert tare.done
+
+
+def test_experiment_generators():
+    cmds = ExperimentGenerator.step_x(1)
+    assert cmds == [(0.0, "500 500 950 950")]
+    sine = ExperimentGenerator.sine(0)
+    assert sine[0][1] == ExperimentGenerator._polar(0)
+    assert sine[-1][1] == "500 500 500 500"  # return to center
+    rnd1 = ExperimentGenerator.random(3, duration=2.0)
+    rnd2 = ExperimentGenerator.random(3, duration=2.0)
+    assert rnd1 == rnd2  # seeded determinism
+    assert ExperimentGenerator.direct(0, 0) == "500 500 500 500"
+
+
+def test_loop_with_command_stream():
+    core = FirmwareCore()
+    plant = SimulatedWinchPlant(leak=0.05)
+    cmds = ExperimentGenerator.step_x(0)  # 500 500 800 800
+    t, readings, _ = run_control_loop(core, plant, duration=2.5,
+                                      command_stream=iter(cmds))
+    np.testing.assert_allclose(readings[-1], [500, 500, 800, 800], rtol=0.05)
