@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from .params import RodParams
-from .shooting import newton_solve
+from .shooting import NewtonStats, newton_solve
 from .spatial import integrate_euler, integrate_rk4, tip_residual
 
 __all__ = ["initial_state", "simulate", "simulate_scan", "SimOutput"]
@@ -75,6 +75,8 @@ def simulate_scan(
     method: str = "euler",
     tol: float = 1e-16,
     max_iter: int = 50,
+    differentiable: bool = False,
+    remat: bool = False,
 ) -> SimOutput:
     """Jit-compatible rollout over a (T, 4) tension schedule.
 
@@ -85,6 +87,14 @@ def simulate_scan(
     Output traj has T entries: index 0 = initial condition, index t>=1 =
     state after controls[t-1]; controls[T-1] is consumed by the reference but
     its result dropped, so we simply do not integrate it.
+
+    differentiable=True solves the shooting problem through lax.custom_root,
+    so gradients of the ROLLOUT w.r.t. rod parameters / NN weights flow via
+    the implicit function theorem (the reference can only differentiate the
+    teacher-forced one-step path). remat=True checkpoints each time step
+    (jax.checkpoint) so long differentiable rollouts trade recompute for
+    activation memory — the rebuild's "long context" lever (SURVEY.md
+    section 5).
     """
     y0, z0 = initial_state(p)
     dtype = y0.dtype
@@ -101,8 +111,8 @@ def simulate_scan(
             def res(Gx):
                 yi, _ = integrate_euler(p, Gx, yh, zh, tf, nn_fn, nn_history)
                 return tip_residual(p, yi)
-            G_new, stats = newton_solve(res, G, tol=tol, max_iter=max_iter)
-            y_new, z_body = integrate_euler(p, G_new, yh, zh, tf, nn_fn, nn_history)
+            integrate = lambda Gx: integrate_euler(p, Gx, yh, zh, tf, nn_fn,
+                                                   nn_history)
         elif method == "rk4":
             yh_int = 0.5 * (yh[:-1] + yh[1:])
             zh_int = 0.5 * (zh[:-1] + zh[1:])
@@ -110,11 +120,22 @@ def simulate_scan(
                 yi, _ = integrate_rk4(p, Gx, yh, zh, yh_int, zh_int, tf,
                                       nn_fn, nn_history)
                 return tip_residual(p, yi)
-            G_new, stats = newton_solve(res, G, tol=tol, max_iter=max_iter)
-            y_new, z_body = integrate_rk4(p, G_new, yh, zh, yh_int, zh_int, tf,
-                                          nn_fn, nn_history)
+            integrate = lambda Gx: integrate_rk4(p, Gx, yh, zh, yh_int,
+                                                 zh_int, tf, nn_fn,
+                                                 nn_history)
         else:
             raise ValueError(f"unknown method {method!r}")
+
+        if differentiable:
+            from .shooting import implicit_root
+            G_new = implicit_root(res, G, tol=tol, max_iter=max_iter)
+            r = res(jax.lax.stop_gradient(G_new))
+            stats = NewtonStats(jnp.array(0, jnp.int32),
+                                jnp.sqrt(jnp.sum(r * r)),
+                                jnp.array(True))
+        else:
+            G_new, stats = newton_solve(res, G, tol=tol, max_iter=max_iter)
+        y_new, z_body = integrate(G_new)
 
         z_new = jnp.concatenate([z_body, z_tip[None]], axis=0)
         record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)  # (N, 50)
@@ -123,8 +144,9 @@ def simulate_scan(
 
     T = controls.shape[0]
     carry0 = (y0, z0, y0, z0, G0)
+    body = jax.checkpoint(step) if remat else step
     # Integrate T-1 steps; the reference's T-th step is computed then dropped.
-    _, (records, Gs, iters, res) = lax.scan(step, carry0, controls[: T - 1])
+    _, (records, Gs, iters, res) = lax.scan(body, carry0, controls[: T - 1])
 
     rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
     traj = jnp.concatenate([rec0, records], axis=0)

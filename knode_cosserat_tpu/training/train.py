@@ -184,12 +184,17 @@ def train_knode(
 
     trajs = jnp.asarray(trajs, dtype)
     controls_a = jnp.asarray(controls, dtype)
-    step, _ = make_train_step(p_mod, spec, optimizer, cfg.keypoints,
-                              cfg.clamp_weights)
 
     eval_rod = eval_rod if eval_rod is not None else p_mod
     do_eval = (validation_controls is not None
                and validation_reference is not None)
+
+    # Epochs run on device in chunks via lax.scan (zero host dispatch);
+    # the host only intervenes at eval/log boundaries.
+    chunk = cfg.eval_every if do_eval else max(cfg.log_every, 1)
+    chunk = max(1, min(chunk, cfg.epochs + 1))
+    run_chunk = make_epoch_scan(p_mod, spec, optimizer, cfg.keypoints,
+                                cfg.clamp_weights, chunk)
 
     loss_hist = []
     dtw_hist = []
@@ -197,16 +202,8 @@ def train_knode(
     t_start = time.perf_counter()
     t0_compiled = None
 
-    for epoch in range(cfg.epochs + 1):
-        params, opt_state, loss = step(params, opt_state, trajs, controls_a)
-        loss_hist.append(float(loss))
-        if epoch == 0:
-            t0_compiled = time.perf_counter()
-
-        if log and epoch % cfg.log_every == 0:
-            log(f"Epoch {epoch} of {cfg.epochs}")
-            log(f"Total loss: {float(loss):.6e}")
-
+    epoch = 0
+    while epoch <= cfg.epochs:
         if do_eval and epoch % cfg.eval_every == 0:
             # reference quirk: the epoch-0 eval scores the NO-NN baseline
             # (physics_train.py:275,380 pass None at epoch 0)
@@ -226,6 +223,21 @@ def train_knode(
                 log(f"Validation DTW Distance XYZ {d}")
             if d < best_dtw:
                 best_dtw, best_params = d, jax.tree.map(lambda x: x, params)
+
+        n = min(chunk, cfg.epochs + 1 - epoch)
+        runner = run_chunk if n == chunk else make_epoch_scan(
+            p_mod, spec, optimizer, cfg.keypoints, cfg.clamp_weights, n)
+        params, opt_state, losses = runner(params, opt_state, trajs,
+                                           controls_a)
+        losses = np.asarray(losses)
+        loss_hist.extend(float(x) for x in losses)
+        if t0_compiled is None:
+            jax.block_until_ready(losses)
+            t0_compiled = time.perf_counter()
+        epoch += n
+        if log and (epoch // chunk) % max(1, cfg.log_every // chunk) == 0:
+            log(f"Epoch {epoch - 1} of {cfg.epochs}")
+            log(f"Total loss: {losses[-1]:.6e}")
 
     elapsed = time.perf_counter() - (t0_compiled or t_start)
     eps = cfg.epochs / elapsed if elapsed > 0 else 0.0

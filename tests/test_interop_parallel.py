@@ -1,0 +1,102 @@
+"""Reference-checkpoint interop and multi-device equivalence tests."""
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu import apply_mod
+from knode_cosserat_tpu.models import MLPSpec, init_mlp, mlp_apply
+from knode_cosserat_tpu.models.io import load_reference_pth
+from knode_cosserat_tpu.parallel import (ShardedTrainer, build_grid,
+                                         grid_train, make_mesh)
+from knode_cosserat_tpu.training import (TrainConfig, make_training_data,
+                                         train_knode)
+
+REF = "/root/reference/knode_cosserat"
+
+
+def test_load_reference_pth_roundtrip(tmp_path):
+    """Save a reference-style robot pickle, load it, and verify the MLP
+    forward matches torch exactly."""
+    import torch
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from cosserat_ode_torch import CosseratRodTorch  # reference oracle
+
+    torch.manual_seed(3)
+    robot = CosseratRodTorch("cpu", 48)
+    path = str(tmp_path / "ref_model.pth")
+    torch.save({"robot": robot, "loss": [1.0, 0.5], "dtw": [2.0]}, path)
+
+    out = load_reference_pth(path, reference_path=REF)
+    assert out["spec"].dims == (28, 48, 25)
+    assert out["spec"].activation == "elu"
+    assert out["loss"] == [1.0, 0.5]
+
+    x = np.random.RandomState(0).randn(7, 28).astype(np.float32)
+    torch_y = robot.forward(torch.tensor(x)).detach().numpy()
+    ours = np.asarray(mlp_apply(out["spec"], out["params"],
+                                jnp.asarray(x)))
+    np.testing.assert_allclose(ours, torch_y, rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_trainer_matches_host_trainer():
+    """DP x TP sharded training == single-device training (same math)."""
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 4, train_len=6)
+    trajs = np.asarray(trajs, np.float32)
+    ctls = np.asarray(ctls, np.float32)
+    cfg = TrainConfig(epochs=5, hidden=32, dtype="float32", seed=0)
+
+    mesh = make_mesh(data=4, model=2)
+    st = ShardedTrainer(mesh, p_mod, cfg)
+    sharded_losses = st.fit(trajs, ctls, epochs=5)
+
+    host = train_knode(p_mod, trajs, ctls,
+                       TrainConfig(epochs=4, hidden=32, dtype="float32",
+                                   seed=0, log_every=1000),
+                       log=None)
+    # loss trajectories agree to float32 reduction-order noise
+    np.testing.assert_allclose(sharded_losses[:5], host.loss_history[:5],
+                               rtol=1e-4)
+    # final params agree across the mesh gather
+    # (host ran 5 steps: epochs=4 means range(5))
+    for a, b in zip(jax.tree.leaves(st.gathered_params()),
+                    jax.tree.leaves(host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=1e-5)
+
+
+def test_grid_train_matches_individual_training():
+    """Every grid cell trained in the one fused program == the same cell
+    trained alone."""
+    ref = apply_mod(None)
+    cells = build_grid(["sine 0.5"], ["nsw", "youngs"], 1)
+    cfg = TrainConfig(epochs=3, hidden=16, dtype="float32",
+                      eval_every=10**9, log_every=10**9)
+    res = grid_train(cells, cfg, reference_rod=ref, train_len=6)
+
+    for cell, params in zip(res.cells, res.params):
+        p_mod = apply_mod(cell.mod)
+        trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+        solo = train_knode(p_mod, trajs, ctls,
+                           TrainConfig(epochs=2, hidden=16, dtype="float32",
+                                       seed=cell.seed, log_every=10**9),
+                           log=None)
+        for a, b in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(solo.params)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(data=4, model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    mesh = make_mesh(model=1)
+    assert mesh.shape["data"] == len(jax.devices())
+    with pytest.raises(ValueError):
+        make_mesh(data=16, model=2)
