@@ -40,7 +40,14 @@ def newton_solve(
     max_backtracks: int = 12,
     damping: float = 0.0,
 ):
-    """Solve residual_fn(G) = 0 by damped Newton with backtracking.
+    """Solve residual_fn(G) = 0 by damped Newton with a vectorized
+    backtracking line search.
+
+    TPU-first detail: all step-size candidates (alpha = 1, 1/2, ... ,
+    1/2^max_backtracks) are evaluated in ONE vmapped residual sweep — the
+    spatial integration vectorizes over candidates exactly like it does over
+    batch, so the line search costs about one residual evaluation instead of
+    max_backtracks sequential ones.
 
     Args:
       residual_fn: (6,) -> (6,), e.g. a closure over spatial.residual_euler.
@@ -56,6 +63,7 @@ def newton_solve(
     """
     dtype = G0.dtype
     eye = jnp.eye(G0.shape[-1], dtype=dtype)
+    alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
 
     def sq(r):
         return jnp.sum(r * r)
@@ -76,27 +84,18 @@ def newton_solve(
         dG = jnp.where(jnp.all(jnp.isfinite(dG)), dG,
                        solve_spd_small(J, -r, damping=1e-8))
 
-        # Backtracking line search: accept the first step size that reduces
-        # the squared residual; keep the full step's result if none does
-        # (matches fsolve's willingness to wander early on).
-        def try_alpha(carry, k):
-            best_G, best_r2, found = carry
-            alpha = 0.5 ** k
-            Gt = G + alpha * dG
-            r2t = sq(residual_fn(Gt))
-            better = (~found) & (r2t < r2)
-            best_G = jnp.where(better, Gt, best_G)
-            best_r2 = jnp.where(better, r2t, best_r2)
-            return (best_G, best_r2, found | better), None
-
-        G_full = G + dG
-        r2_full = sq(residual_fn(G_full))
-        init = (G_full, r2_full, r2_full < r2)
-        (G_new, r2_new, found), _ = lax.scan(
-            try_alpha, init, jnp.arange(1, max_backtracks + 1))
-        # If no step reduced the residual, take the full step anyway but
-        # flag a stall so we exit rather than loop forever.
-        stalled = ~found & (r2_full >= r2)
+        # One batched sweep over every candidate step size; pick the largest
+        # alpha that reduces the squared residual (fsolve-like willingness:
+        # take the full step if nothing improves, but flag a stall).
+        G_cand = G[None, :] + alphas[:, None] * dG[None, :]
+        r2_cand = jax.vmap(lambda g: sq(residual_fn(g)))(G_cand)
+        improves = r2_cand < r2
+        idx = jnp.argmax(improves)          # first (largest-alpha) improver
+        found = jnp.any(improves)
+        pick = jnp.where(found, idx, 0)
+        G_new = G_cand[pick]
+        r2_new = r2_cand[pick]
+        stalled = ~found
         return (G_new, r2_new, it + 1, stalled)
 
     r0 = residual_fn(G0)
