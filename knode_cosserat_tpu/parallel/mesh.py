@@ -4,9 +4,15 @@ The reference is single-process, single-device science code whose only
 scale-out is "2 training subprocesses at a time" (physics_multitrain.py:
 152-157). Here, scale-out is a jax.sharding.Mesh over ICI:
 
-  axes: ("data", "model")
+  axes: ("data", "seq", "model")
     data  — batch axis: trajectories / grid experiments (DP). Gradients are
             reduced with psum over ICI by XLA.
+    seq   — sequence-parallel axis: the rollout TIME dimension of the
+            teacher-forced loss shards too (the y_prev shift becomes a
+            halo exchange XLA inserts as a collective-permute). This is the
+            rebuild's "context parallelism": useful when trajectories are
+            few but long (the realworld track: 2-4 trajectories x 1200
+            steps, prepare.py/train_segment.py).
     model — tensor-parallel axis for the KNODE MLP hidden dimension (TP).
             Size 1 for the reference-sized net; the axis exists so larger
             hybrid models shard without code changes.
@@ -22,25 +28,33 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "data_sharding", "replicated", "shard_params_tp", "P"]
 
 
-def make_mesh(data: int = -1, model: int = 1,
+def make_mesh(data: int = -1, model: int = 1, seq: int = 1,
               devices: Optional[Sequence] = None) -> Mesh:
-    """Build a ("data", "model") mesh. data=-1 uses all remaining devices."""
+    """Build a ("data", "seq", "model") mesh. data=-1 uses all remaining
+    devices. seq=1/model=1 axes still exist (size 1) so sharding specs are
+    uniform across mesh shapes."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if data == -1:
-        if n % model:
-            raise ValueError(f"{n} devices not divisible by model={model}")
-        data = n // model
-    if data * model > n:
-        raise ValueError(f"mesh {data}x{model} needs {data*model} devices, "
-                         f"have {n}")
-    dev = np.asarray(devices[: data * model]).reshape(data, model)
-    return Mesh(dev, axis_names=("data", "model"))
+        if n % (model * seq):
+            raise ValueError(f"{n} devices not divisible by "
+                             f"model*seq={model * seq}")
+        data = n // (model * seq)
+    if data * model * seq > n:
+        raise ValueError(f"mesh {data}x{seq}x{model} needs "
+                         f"{data * model * seq} devices, have {n}")
+    dev = np.asarray(devices[: data * seq * model]).reshape(data, seq, model)
+    return Mesh(dev, axis_names=("data", "seq", "model"))
 
 
-def data_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard the leading axis over "data", replicate the rest."""
-    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+def data_sharding(mesh: Mesh, ndim: int = 1,
+                  seq_axis: Optional[int] = None) -> NamedSharding:
+    """Shard the leading axis over "data" (and optionally axis ``seq_axis``
+    over "seq"), replicate the rest."""
+    spec = ["data"] + [None] * (ndim - 1)
+    if seq_axis is not None and "seq" in mesh.axis_names:
+        spec[seq_axis] = "seq"
+    return NamedSharding(mesh, P(*spec))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -62,9 +62,15 @@ class ShardedTrainer:
             )(trajs, controls)
             return jnp.sum(per)
 
+        # trajectories shard over "data"; the TIME axis shards over "seq"
+        # (sequence parallelism — the loss's y_prev shift becomes a halo
+        # exchange XLA inserts automatically)
+        traj_shard = data_sharding(mesh, 4, seq_axis=1)
+        ctl_shard = data_sharding(mesh, 3, seq_axis=1)
+
         @partial(jax.jit,
                  in_shardings=(self.param_sharding, None,
-                               data_sharding(mesh, 4), data_sharding(mesh, 3)),
+                               traj_shard, ctl_shard),
                  out_shardings=(self.param_sharding, None, None),
                  donate_argnums=(0, 1))
         def step(params, opt_state, trajs, controls):
@@ -82,9 +88,9 @@ class ShardedTrainer:
     def shard_data(self, trajs, controls):
         dtype = jnp.dtype(self.cfg.dtype)
         trajs = jax.device_put(jnp.asarray(trajs, dtype),
-                               data_sharding(self.mesh, 4))
+                               data_sharding(self.mesh, 4, seq_axis=1))
         controls = jax.device_put(jnp.asarray(controls, dtype),
-                                  data_sharding(self.mesh, 3))
+                                  data_sharding(self.mesh, 3, seq_axis=1))
         return trajs, controls
 
     def step(self, trajs, controls) -> float:

@@ -95,8 +95,29 @@ def test_grid_train_matches_individual_training():
 
 def test_mesh_shapes():
     mesh = make_mesh(data=4, model=2)
-    assert mesh.shape == {"data": 4, "model": 2}
+    assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
     mesh = make_mesh(model=1)
     assert mesh.shape["data"] == len(jax.devices())
     with pytest.raises(ValueError):
         make_mesh(data=16, model=2)
+
+
+def test_sequence_parallel_matches_host():
+    """dp x sp x tp (2x2x2) training == host training: the time-axis shard's
+    y_prev halo exchange must be exact."""
+    ref = apply_mod(None)
+    p_mod = apply_mod("youngs")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=8)
+    trajs = np.asarray(trajs, np.float32)
+    ctls = np.asarray(ctls, np.float32)
+    cfg = TrainConfig(epochs=3, hidden=32, dtype="float32", seed=1)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    st = ShardedTrainer(mesh, p_mod, cfg)
+    sharded_losses = st.fit(trajs, ctls, epochs=3)
+
+    host = train_knode(p_mod, trajs, ctls,
+                       TrainConfig(epochs=2, hidden=32, dtype="float32",
+                                   seed=1, log_every=1000), log=None)
+    np.testing.assert_allclose(sharded_losses[:3], host.loss_history[:3],
+                               rtol=1e-4)
