@@ -84,11 +84,25 @@ def grid_train(
         data_cache[d] = make_training_data(reference_rod, specs,
                                            train_len=train_len)
 
-    n_traj = {len(v[0]) for v in data_cache.values()}
-    if len(n_traj) != 1:
-        raise ValueError(
-            "all grid data specs must have the same trajectory count to "
-            f"stack into one program; got {n_traj}. Run separate grids.")
+    # Cells whose data specs have different trajectory counts can't stack
+    # into one program; partition into same-shape sub-grids and merge.
+    n_traj_of = {d: len(v[0]) for d, v in data_cache.items()}
+    counts = sorted({n_traj_of[c.data] for c in cells})
+    if len(counts) > 1:
+        results = {}
+        spec_out = None
+        for n in counts:
+            sub = [c for c in cells if n_traj_of[c.data] == n]
+            r = grid_train(sub, cfg, reference_rod=reference_rod,
+                           train_len=train_len, mesh=mesh,
+                           original=original, log=log)
+            spec_out = r.spec
+            for c, pr, lh in zip(r.cells, r.params, r.loss_history.T):
+                results[c] = (pr, lh)
+        params = [results[c][0] for c in cells]
+        losses = np.stack([results[c][1] for c in cells], axis=1)
+        return GridResult(cells=list(cells), params=params,
+                          loss_history=losses, spec=spec_out)
 
     # --- stack everything along the grid axis ---
     rods = _stack_pytrees([apply_mod(c.mod, original=original).replace(
