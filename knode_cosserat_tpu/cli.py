@@ -38,6 +38,8 @@ def _add_train_args(sp):
     sp.add_argument("--save_dir", type=str, default="saved_models")
     sp.add_argument("--train_len", type=int, default=30)
     sp.add_argument("--dtype", type=str, default="float32")
+    sp.add_argument("--resume", type=str, default=None,
+                    help="checkpoint to resume from")
 
 
 def cmd_train(args):
@@ -73,9 +75,10 @@ def cmd_train(args):
     vc = vr = None
     if args.eval:
         vc, vr = make_validation_reference(ref, (vkind, float(varg)))
-    res = train_knode(p_mod, trajs, ctls, cfg.train, vc, vr, eval_rod=p_mod)
-
     path = os.path.join(args.save_dir, cfg.short_name())
+    res = train_knode(p_mod, trajs, ctls, cfg.train, vc, vr, eval_rod=p_mod,
+                      resume_from=args.resume, checkpoint_path=path)
+
     save_checkpoint(path, {
         "params": res.best_params if args.eval else res.params,
         "loss": res.loss_history,

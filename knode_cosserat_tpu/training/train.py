@@ -52,6 +52,7 @@ class TrainConfig:
     eval_every: int = 200                   # physics_train.py:379 (fast path)
     eval_len: int = 100
     log_every: int = 10
+    checkpoint_every: int = 500             # physics_train.py:386
     dtype: str = "float32"
 
     def spec(self) -> MLPSpec:
@@ -168,6 +169,8 @@ def train_knode(
     validation_reference=None,
     eval_rod: Optional[RodParams] = None,
     log: Optional[Callable[[str], None]] = print,
+    resume_from: Optional[str] = None,
+    checkpoint_path: Optional[str] = None,
 ) -> TrainResult:
     """Train the KNODE residual for a (possibly perturbed) rod ``p_mod`` on
     teacher-forcing data from the reference rod.
@@ -175,12 +178,26 @@ def train_knode(
     validation_controls/validation_reference: optional (T,4) schedule and
     (T,N,25) reference rollout for DTW-based best-model selection.
     eval_rod: rod used for validation rollouts (defaults to p_mod).
+    resume_from: checkpoint path to resume params/opt state/loss history
+    from (the reference's RESUME_TRAINING flag, physics_train.py:186-204).
     """
     spec = cfg.spec()
     dtype = jnp.dtype(cfg.dtype)
     params = init_mlp(spec, jax.random.PRNGKey(cfg.seed), dtype)
     optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
+    resumed_loss: list = []
+    if resume_from:
+        from .checkpoint import load_checkpoint
+        ckpt, _ = load_checkpoint(resume_from)
+        params = jax.tree.unflatten(jax.tree.structure(params),
+                                    jax.tree.leaves(ckpt["params"]))
+        params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
+        if ckpt.get("opt_state") is not None:
+            opt_state = jax.tree.unflatten(jax.tree.structure(opt_state),
+                                           jax.tree.leaves(ckpt["opt_state"]))
+        if ckpt.get("loss") is not None:
+            resumed_loss = [float(x) for x in np.asarray(ckpt["loss"])]
 
     trajs = jnp.asarray(trajs, dtype)
     controls_a = jnp.asarray(controls, dtype)
@@ -196,7 +213,7 @@ def train_knode(
     run_chunk = make_epoch_scan(p_mod, spec, optimizer, cfg.keypoints,
                                 cfg.clamp_weights, chunk)
 
-    loss_hist = []
+    loss_hist = list(resumed_loss)
     dtw_hist = []
     best_dtw, best_params = np.inf, params
     t_start = time.perf_counter()
@@ -235,6 +252,13 @@ def train_knode(
             jax.block_until_ready(losses)
             t0_compiled = time.perf_counter()
         epoch += n
+        if checkpoint_path and (epoch % cfg.checkpoint_every) < n:
+            from .checkpoint import save_checkpoint
+            save_checkpoint(checkpoint_path,
+                            {"params": params, "opt_state": opt_state,
+                             "loss": np.asarray(loss_hist),
+                             "dtw": dtw_hist},
+                            meta={"epoch": epoch})
         if log and (epoch // chunk) % max(1, cfg.log_every // chunk) == 0:
             log(f"Epoch {epoch - 1} of {cfg.epochs}")
             log(f"Total loss: {losses[-1]:.6e}")

@@ -179,3 +179,39 @@ def test_cli_train_tiny(tmp_path):
         capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
     assert out.returncode == 0, out.stderr[-2000:]
     assert list(tmp_path.glob("*.npz")), out.stdout
+
+
+def test_train_resume_roundtrip(tmp_path):
+    """RESUME_TRAINING parity: checkpoint mid-run, resume, and match an
+    uninterrupted run."""
+    from knode_cosserat_tpu.training import (TrainConfig, make_training_data,
+                                             train_knode)
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    base = dict(hidden=16, dtype="float64", log_every=10**9, seed=0)
+
+    full = train_knode(p_mod, trajs, ctls,
+                       TrainConfig(epochs=9, **base), log=None)
+
+    ck = str(tmp_path / "mid")
+    first = train_knode(p_mod, trajs, ctls,
+                        TrainConfig(epochs=4, checkpoint_every=5, **base),
+                        log=None, checkpoint_path=ck)
+    resumed = train_knode(p_mod, trajs, ctls,
+                          TrainConfig(epochs=4, **base), log=None,
+                          resume_from=ck)
+    assert len(resumed.loss_history) == len(full.loss_history)
+    np.testing.assert_allclose(resumed.loss_history, full.loss_history,
+                               rtol=1e-9)
+    for a, b in zip(jax.tree.leaves(resumed.params),
+                    jax.tree.leaves(full.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-9)
+
+
+def test_distributed_helpers_single_host():
+    from knode_cosserat_tpu.parallel import (init_distributed, is_multihost,
+                                             process_summary)
+    assert init_distributed() is False  # no coordinator configured
+    assert not is_multihost()
+    assert "process 0/1" in process_summary()
