@@ -37,7 +37,7 @@ def newton_solve(
     G0: jnp.ndarray,
     tol: float = 1e-12,
     max_iter: int = 50,
-    max_backtracks: int = 12,
+    max_backtracks: int = 6,
     damping: float = 0.0,
 ):
     """Solve residual_fn(G) = 0 by damped Newton with a vectorized
