@@ -203,6 +203,22 @@ def cmd_prepare(args):
     print(f"saved {out}")
 
 
+def cmd_playback(args):
+    """Animated 3D playback of ingested mocap data (plot_bag.py parity)."""
+    from .viz.mocap import MocapPlayback
+
+    d = np.load(args.data, allow_pickle=True)
+    positions = np.asarray(d["positions"])          # (T, n_links, 3)
+    quats = None
+    if "interpolated" in d:
+        interp = np.asarray(d["interpolated"])      # (T, 7, N)
+        marker_nodes = [0, 3, 5, 7, 9]
+        quats = np.stack([interp[:, 3:7, i] for i in marker_nodes], axis=1)
+    out = MocapPlayback(positions, quats).save_as_gif(
+        args.gif, max_frames=args.max_frames)
+    print(f"saved {out}")
+
+
 def cmd_estimate(args):
     from .core.params import make_rod
     from .realworld.curve import fit_curve
@@ -313,6 +329,12 @@ def main(argv=None):
     sp.add_argument("experiment", type=str)
     sp.add_argument("--out_dir", type=str, default="datas")
     sp.set_defaults(fn=cmd_prepare)
+
+    sp = sub.add_parser("playback", help="3D mocap playback gif")
+    sp.add_argument("data", type=str, help="datas/<name>.npz from prepare")
+    sp.add_argument("--gif", type=str, default="animations/playback.gif")
+    sp.add_argument("--max_frames", type=int, default=200)
+    sp.set_defaults(fn=cmd_playback)
 
     sp = sub.add_parser("estimate", help="full-state estimation")
     sp.add_argument("data_name", type=str)

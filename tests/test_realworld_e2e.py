@@ -132,3 +132,25 @@ def test_cli_prepare_estimate_chain(tmp_path):
     assert (out_dir / "exp1_estimated.npz").exists()
     est = np.load(out_dir / "exp1_estimated.npz")
     assert est["traj"].shape[1] == 25
+
+
+def test_cli_playback(tmp_path):
+    csv_dir = tmp_path / "exp2"
+    csv_dir.mkdir()
+    _write_synthetic_csvs(csv_dir, T=12)
+    out_dir = tmp_path / "datas"
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    env["MPLBACKEND"] = "Agg"
+    subprocess.run([sys.executable, "-m", "knode_cosserat_tpu", "prepare",
+                    str(csv_dir), "--out_dir", str(out_dir)],
+                   capture_output=True, cwd=REPO, env=env, timeout=400,
+                   check=True)
+    gif = tmp_path / "pb.gif"
+    r = subprocess.run([sys.executable, "-m", "knode_cosserat_tpu",
+                        "playback", str(out_dir / "exp2.npz"),
+                        "--gif", str(gif), "--max_frames", "3"],
+                       capture_output=True, text=True, cwd=REPO, env=env,
+                       timeout=400)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert gif.exists()
