@@ -16,7 +16,6 @@ so batch/node axes map onto TPU lanes and the small state axis stays local.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any
 
 import jax

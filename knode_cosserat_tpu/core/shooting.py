@@ -14,7 +14,6 @@ rollout (knode.py:85-94) with a jittable damped-Newton solver:
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax

@@ -14,8 +14,6 @@ so it is a pure broadcast over nodes — the natural TPU formulation.
 from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
-
-import jax
 import jax.numpy as jnp
 from jax import lax
 

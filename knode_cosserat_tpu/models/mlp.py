@@ -17,7 +17,7 @@ every activation the reference's numpy shim recognizes
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp

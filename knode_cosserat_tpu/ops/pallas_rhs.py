@@ -19,8 +19,7 @@ core.spatial.next_segment_euler on flattened (B, .) inputs.
 """
 from __future__ import annotations
 
-import functools
-from typing import Tuple
+
 
 import jax
 import jax.numpy as jnp

@@ -10,9 +10,7 @@ and per-seed MLP params all stack, and the grid axis shards over the mesh's
 from __future__ import annotations
 
 import dataclasses
-import itertools
-from functools import partial
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ all-reduces over "model", both inserted by XLA and riding ICI.
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,6 @@ columns '<link>.pose.position.{x,y,z}' and '<link>.pose.orientation.
 """
 from __future__ import annotations
 
-from typing import Sequence
 
 import numpy as np
 from scipy.interpolate import CubicSpline

@@ -17,9 +17,7 @@ physics_train.py:351-352).
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
-
-import jax
+from typing import Sequence, Tuple
 import jax.numpy as jnp
 
 from ..core.params import RodParams

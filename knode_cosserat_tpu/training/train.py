@@ -29,7 +29,7 @@ import optax
 from ..core.params import RodParams
 from ..core.stepper import simulate_scan
 from ..evaluation.metrics import tip_dtw
-from ..models.mlp import MLPSpec, bind, clamp_nonnegative, init_mlp, mlp_apply
+from ..models.mlp import MLPSpec, bind, clamp_nonnegative, init_mlp
 from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
 
 __all__ = ["TrainConfig", "TrainResult", "train_knode", "make_train_step",

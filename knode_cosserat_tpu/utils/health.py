@@ -12,7 +12,7 @@ Two layers:
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
+from typing import List
 
 import jax
 import numpy as np

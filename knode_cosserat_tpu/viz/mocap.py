@@ -4,7 +4,7 @@ knode_cosserat_realworld/plot_bag.py:43-94."""
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 
