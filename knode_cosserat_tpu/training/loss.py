@@ -42,6 +42,7 @@ def grow_predictions(
     traj: jnp.ndarray,
     controls: jnp.ndarray,
     keypoints: Sequence[int],
+    fused_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Teacher-forced next-state predictions at the keypoints.
 
@@ -67,6 +68,15 @@ def grow_predictions(
     zh_in = zh[:, kp - 1]
     tf = controls[:-1] @ p.tendon_dirs  # (T-1, 3)
 
+    if fused_fn is not None:
+        # fused Pallas path: flatten (T-1, K) into one batch for the kernel
+        Tm1, K = y_in.shape[0], y_in.shape[1]
+        flat = lambda a: a.reshape((Tm1 * K,) + a.shape[2:])
+        tf_b = jnp.broadcast_to(tf[:, None, :], (Tm1, K, 3))
+        yg, zn = fused_fn(nn_params, flat(y_in), flat(yh_in), flat(zh_in),
+                          flat(tf_b))
+        return (yg.reshape(Tm1, K, 19), zn.reshape(Tm1, K, 6))
+
     nn_fn = None
     if nn_params is not None:
         nn_fn = lambda x: mlp_apply(spec, nn_params, x)
@@ -81,12 +91,16 @@ def teacher_forced_loss(
     traj: jnp.ndarray,
     controls: jnp.ndarray,
     keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
+    fused_fn=None,
 ) -> jnp.ndarray:
     """Scalar loss for one trajectory; vmap over a leading trajectory axis
-    and sum for the multi-trajectory total (physics_train.py:313-366)."""
+    and sum for the multi-trajectory total (physics_train.py:313-366).
+
+    fused_fn: optional Pallas fused RHS (ops.pallas_rhs.
+    make_fused_next_segment) used in place of the XLA path."""
     kp = jnp.asarray(keypoints)
     y_grown, z_new = grow_predictions(p, spec, nn_params, traj, controls,
-                                      keypoints)
+                                      keypoints, fused_fn=fused_fn)
     target = traj[1:]                       # (T-1, N, 25)
     tgt_y = target[:, kp, :19]              # (T-1, K, 19)
     tgt_z = target[:, kp - 1, 19:]          # (T-1, K, 6) — kp-1 indexing

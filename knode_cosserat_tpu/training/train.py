@@ -83,15 +83,27 @@ def make_optimizer(cfg: TrainConfig):
 
 
 def make_train_step(p: RodParams, spec: MLPSpec, optimizer,
-                    keypoints: Sequence[int], clamp: bool):
+                    keypoints: Sequence[int], clamp: bool,
+                    use_pallas: bool = False):
     """Build the jitted (params, opt_state, trajs, controls) -> ... step.
 
     trajs: (n_traj, T, N, 25); controls: (n_traj, T, 4). The per-trajectory
     losses are summed, matching the reference accumulation
-    (physics_train.py:313-365)."""
+    (physics_train.py:313-365). use_pallas routes the teacher-forced RHS
+    through the fused Pallas kernel (trajectories unrolled statically —
+    pallas_call composes with the kernel's custom VJP, not with vmap)."""
     kp = tuple(keypoints)
+    fused_fn = None
+    if use_pallas:
+        from ..ops.pallas_rhs import make_fused_next_segment
+        fused_fn = make_fused_next_segment(p, spec)
 
     def total_loss(params, trajs, controls):
+        if fused_fn is not None:
+            return sum(
+                teacher_forced_loss(p, spec, params, trajs[i], controls[i],
+                                    kp, fused_fn=fused_fn)
+                for i in range(trajs.shape[0]))
         per = jax.vmap(
             lambda t, c: teacher_forced_loss(p, spec, params, t, c, kp)
         )(trajs, controls)

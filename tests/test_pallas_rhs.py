@@ -60,3 +60,43 @@ def test_fused_gradients_match_jax():
     for a, b in zip(jax.tree.leaves(gf), jax.tree.leaves(gj)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=5e-3, atol=5e-4)
+
+
+def test_training_step_with_pallas_matches_xla():
+    """use_pallas=True training step == the XLA step (interpret on CPU)."""
+    import optax
+    from knode_cosserat_tpu.training import make_training_data
+    from knode_cosserat_tpu.training.train import (TrainConfig,
+                                                   make_optimizer,
+                                                   make_train_step)
+    from knode_cosserat_tpu.ops import pallas_rhs as prh
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw", dtype=jnp.float32)
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=6)
+    trajs = jnp.asarray(np.asarray(trajs), jnp.float32)
+    ctls = jnp.asarray(np.asarray(ctls), jnp.float32)
+
+    cfg = TrainConfig(hidden=16, dtype="float32")
+    spec = cfg.spec()
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float32)
+    opt = make_optimizer(cfg)
+
+    # interpret mode on CPU: patch the kernel builder's default
+    orig = prh.make_fused_next_segment
+    prh.make_fused_next_segment = lambda p, s, **kw: orig(
+        p, s, interpret=True, **{k: v for k, v in kw.items()
+                                 if k != "interpret"})
+    try:
+        step_pl, _ = make_train_step(p_mod, spec, opt, cfg.keypoints, True,
+                                     use_pallas=True)
+        step_xla, _ = make_train_step(p_mod, spec, opt, cfg.keypoints, True)
+        s0 = opt.init(params)
+        p1, _, l1 = step_pl(params, s0, trajs, ctls)
+        p2, _, l2 = step_xla(params, opt.init(params), trajs, ctls)
+    finally:
+        prh.make_fused_next_segment = orig
+    assert float(l1) == pytest.approx(float(l2), rel=1e-4)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
+                                   atol=2e-4)
