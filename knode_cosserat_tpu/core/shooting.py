@@ -68,12 +68,14 @@ def newton_solve(
         return jnp.sum(r * r)
 
     def cond(state):
-        G, r2, it, stalled = state
+        G, r, r2, it, stalled = state
         return (r2 > tol) & (it < max_iter) & (~stalled)
 
     def body(state):
-        G, r2, it, _ = state
-        r = residual_fn(G)
+        # the residual vector r at G is carried from the previous line
+        # search — each iteration costs exactly two sequential sweeps
+        # (Jacobian + candidate batch), nothing else
+        G, r, r2, it, _ = state
         J = jax.jacfwd(residual_fn)(G)
         if damping:
             J = J + damping * eye
@@ -87,19 +89,19 @@ def newton_solve(
         # alpha that reduces the squared residual (fsolve-like willingness:
         # take the full step if nothing improves, but flag a stall).
         G_cand = G[None, :] + alphas[:, None] * dG[None, :]
-        r2_cand = jax.vmap(lambda g: sq(residual_fn(g)))(G_cand)
+        r_cand = jax.vmap(residual_fn)(G_cand)
+        r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
         improves = r2_cand < r2
         idx = jnp.argmax(improves)          # first (largest-alpha) improver
         found = jnp.any(improves)
         pick = jnp.where(found, idx, 0)
         G_new = G_cand[pick]
-        r2_new = r2_cand[pick]
         stalled = ~found
-        return (G_new, r2_new, it + 1, stalled)
+        return (G_new, r_cand[pick], r2_cand[pick], it + 1, stalled)
 
     r0 = residual_fn(G0)
-    state0 = (G0, sq(r0), jnp.array(0, jnp.int32), jnp.array(False))
-    G, r2, it, stalled = lax.while_loop(cond, body, state0)
+    state0 = (G0, r0, sq(r0), jnp.array(0, jnp.int32), jnp.array(False))
+    G, r, r2, it, stalled = lax.while_loop(cond, body, state0)
     return G, NewtonStats(it, jnp.sqrt(r2), r2 <= tol)
 
 

@@ -136,12 +136,16 @@ def grid_train(
     vstep = jax.vmap(cell_step)
 
     if mesh is not None:
-        shard = data_sharding(mesh, 1)
-        grid_shard = jax.tree.map(lambda _: shard, params)
-        params = jax.device_put(params, grid_shard)
-        step = jax.jit(vstep, donate_argnums=(1, 2))
-    else:
-        step = jax.jit(vstep, donate_argnums=(1, 2))
+        # every stacked pytree shards its leading (grid) axis over "data"
+        place = lambda tree: jax.tree.map(
+            lambda x: jax.device_put(x, data_sharding(mesh, jnp.ndim(x))),
+            tree)
+        rods = place(rods)
+        params = place(params)
+        opt_state = place(opt_state)
+        trajs = place(trajs)
+        ctls = place(ctls)
+    step = jax.jit(vstep, donate_argnums=(1, 2))
 
     losses = []
     for epoch in range(cfg.epochs):
