@@ -1,0 +1,177 @@
+"""Fast batched rollout: Newton shooting driven entirely by the fused
+Pallas sweep kernel (ops/pallas_sweep.py).
+
+Motivation: the XLA rollout's wall time is kernel-launch overhead — every
+Newton iteration runs two lax.scan sweeps of dozens of tiny ops per node.
+Here each Newton phase is ONE kernel launch over the whole rod batch:
+
+  per iteration:
+    probes     — residuals at [G + h_i e_i] for the finite-difference
+                 Jacobian, batched over (rods x 6) in one launch
+    candidates — residuals at [G + alpha_k dG] for the vectorized line
+                 search, batched over (rods x A) in one launch
+  per time step, after convergence:
+    one full sweep records the rod (y, z).
+
+The FD Jacobian only steers Newton; the residual itself is exact, so the
+converged root (and hence the trajectory) matches the autodiff-Jacobian
+path to solver tolerance — pinned by tests/test_fast_rollout.py.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..models.mlp import MLPSpec
+from ..ops.linalg import solve_small
+from ..ops.pallas_sweep import make_sweep_kernel
+from .params import RodParams
+from .stepper import initial_state
+
+__all__ = ["make_fast_rollout"]
+
+
+def _xla_sweeps(p: RodParams, spec, want_rod: bool):
+    """Pure-XLA stand-in for the pallas sweep kernel (same signature);
+    used for CPU testing of the FD-Newton driver and as a fallback."""
+    from ..models.mlp import bind
+    from .spatial import integrate_euler, tip_residual
+
+    def fn(G, yh, zh, tf, nn_params=None):
+        nn_fn = bind(spec, nn_params) if (spec is not None
+                                          and nn_params is not None) else None
+
+        def one(g, yhh, zhh, tff):
+            y, z = integrate_euler(p, g, yhh, zhh, tff, nn_fn)
+            r = tip_residual(p, y)
+            return (r, y, z) if want_rod else r
+
+        return jax.vmap(one)(G, yh, zh, tf)
+
+    return fn
+
+
+def make_fast_rollout(
+    p: RodParams,
+    spec: Optional[MLPSpec] = None,
+    tol: float = 1e-12,
+    max_iter: int = 30,
+    n_alphas: int = 7,
+    block_b: int = 256,
+    interpret: bool = False,
+    impl: str = "pallas",
+):
+    """Build fn(controls (R, T, 4), nn_params|None) -> traj (R, T, N, 50).
+
+    Output matches core.stepper.simulate_scan over a vmapped rod batch
+    (same record layout, same dropped final step, same frozen tip-z).
+    impl: "pallas" (fused kernel) or "xla" (vmapped scan sweeps — same
+    driver, used for CPU validation)."""
+    N = p.N
+    dtype = p.dtype
+    if impl == "pallas":
+        k_res = make_sweep_kernel(p, spec, block_b=block_b,
+                                  interpret=interpret, want_rod=False)
+        k_full = make_sweep_kernel(p, spec, block_b=block_b,
+                                   interpret=interpret, want_rod=True)
+    elif impl == "xla":
+        k_res = _xla_sweeps(p, spec, want_rod=False)
+        k_full = _xla_sweeps(p, spec, want_rod=True)
+    else:
+        raise ValueError(impl)
+    eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
+    alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
+    eye = jnp.eye(6, dtype=dtype)
+
+    def rollout(controls, nn_params=None):
+        controls = jnp.asarray(controls, dtype)
+        R, T = controls.shape[0], controls.shape[1]
+        y0, z0 = initial_state(p)
+        y0 = jnp.broadcast_to(y0, (R, N, 19))
+        z0 = jnp.broadcast_to(z0, (R, N, 6))
+        G0 = jnp.zeros((R, 6), dtype)
+        z_tip = z0[:, -1]
+
+        def res_batch(G_flat, yh, zh, tf, width):
+            """G_flat (R*width, 6); yh/zh/tf per rod, repeated per variant."""
+            rep = lambda a: jnp.repeat(a, width, axis=0)
+            return k_res(G_flat, rep(yh), rep(zh), rep(tf),
+                         nn_params)  # (R*width, 6)
+
+        def newton(G, yh, zh, tf):
+            r0 = k_res(G, yh, zh, tf, nn_params)
+
+            def cond(state):
+                G, r, r2, it, stalled = state
+                return jnp.any((r2 > tol) & (~stalled)) & (it < max_iter)
+
+            def body(state):
+                G, r, r2, it, stalled = state
+                # FD Jacobian probes: (R, 6, 6) -> one kernel launch
+                h = eps * (1.0 + jnp.abs(G))                 # (R, 6)
+                probes = G[:, None, :] + h[:, None, :] * eye[None]  # (R,6,6)
+                r_p = res_batch(probes.reshape(R * 6, 6), yh, zh, tf, 6)
+                r_p = r_p.reshape(R, 6, 6)
+                # J[a, i, k] = d r_i / d G_k  (probe axis = k)
+                J = (r_p - r[:, None, :]) / h[:, None, :]
+                J = jnp.swapaxes(J, 1, 2)                    # (R, 6, 6)
+
+                dG = solve_small(J, -r)
+                dG = jnp.where(jnp.all(jnp.isfinite(dG), axis=-1,
+                                       keepdims=True), dG, 0.0)
+
+                # line-search candidates: (R, A, 6) -> one kernel launch
+                cand = G[:, None, :] + alphas[None, :, None] * dG[:, None, :]
+                r_c = res_batch(cand.reshape(R * n_alphas, 6), yh, zh, tf,
+                                n_alphas).reshape(R, n_alphas, 6)
+                r2_c = jnp.sum(r_c * r_c, axis=-1)           # (R, A)
+                improves = r2_c < r2[:, None]
+                idx = jnp.argmax(improves, axis=1)
+                found = jnp.any(improves, axis=1)
+                pick = jnp.where(found, idx, 0)
+                take = lambda a: jnp.take_along_axis(
+                    a, pick[:, None, None] if a.ndim == 3 else pick[:, None],
+                    axis=1).squeeze(1)
+                G_new = take(cand)
+                r_new = take(r_c)
+                r2_new = jnp.take_along_axis(r2_c, pick[:, None],
+                                             axis=1)[:, 0]
+                active = (r2 > tol) & (~stalled)
+                G = jnp.where(active[:, None], G_new, G)
+                r = jnp.where(active[:, None], r_new, r)
+                r2_out = jnp.where(active, r2_new, r2)
+                stalled = stalled | (active & (~found))
+                return (G, r, r2_out, it + 1, stalled)
+
+            r2 = jnp.sum(r0 * r0, axis=-1)
+            state = (G, r0, r2, jnp.array(0, jnp.int32),
+                     jnp.zeros(R, bool))
+            G, r, r2, it, _ = lax.while_loop(cond, body, state)
+            return G, r2, it
+
+        def step(carry, tensions):
+            y, z, y_prev, z_prev, G = carry
+            yh = p.c1 * y + p.c2 * y_prev
+            zh = p.c1 * z + p.c2 * z_prev
+            tf = tensions @ p.tendon_dirs                     # (R, 3)
+
+            G_new, r2, iters = newton(G, yh, zh, tf)
+            _, y_new, z_body = k_full(G_new, yh, zh, tf, nn_params)
+            z_new = jnp.concatenate([z_body, z_tip[:, None, :]], axis=1)
+            record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
+            return ((y_new, z_new, y, z, G_new),
+                    (record, jnp.sqrt(r2), iters))
+
+        carry0 = (y0, z0, y0, z0, G0)
+        _, (records, res, iters) = lax.scan(step, carry0,
+                                            jnp.swapaxes(controls, 0, 1)[:T - 1])
+        rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
+        traj = jnp.concatenate([rec0, records], axis=0)       # (T, R, N, 50)
+        return jnp.swapaxes(traj, 0, 1), res, iters
+
+    return rollout

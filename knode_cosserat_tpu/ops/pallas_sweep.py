@@ -1,0 +1,262 @@
+"""Pallas TPU kernel: the ENTIRE spatial sweep in one kernel.
+
+The XLA rollout's cost is dominated by kernel-launch overhead: each spatial
+Euler sweep is an N-1-step lax.scan of dozens of tiny fused ops, and every
+Newton iteration runs two such sweeps (Jacobian + line-search candidates).
+This kernel runs the whole base->tip integration (cosserat_ode.py:188-213)
+inside one pallas_call: state lives in VMEM laid out state-major —
+components on sublanes, the batch on LANES — so every 3-vector operation is
+a full-width VPU op, and the optional KNODE MLP is an MXU matmul per node.
+
+Batch semantics: B = (rods x G-variants). The shooting driver
+(core/fast_rollout.py) expands each rod's Newton probes (finite-difference
+Jacobian columns + line-search candidates) into the batch, so one kernel
+launch per Newton phase replaces thousands of tiny ops.
+
+Outputs: tip residual (B, 6), plus (optionally) the full integrated rod
+y (B, N, 19) and strains z (B, N-1, 6) for the recording sweep.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import RodParams
+from ..models.mlp import MLPSpec
+
+__all__ = ["make_sweep_kernel"]
+
+
+def _c3(M):
+    M = np.asarray(M, np.float64)
+    return tuple(tuple(float(x) for x in row) for row in M)
+
+
+def _matvec3(M, x):
+    out = []
+    for i in range(3):
+        acc = None
+        for j in range(3):
+            c = M[i][j]
+            if c == 0.0:
+                continue
+            t = c * x[j]
+            acc = t if acc is None else acc + t
+        out.append(acc if acc is not None else jnp.zeros_like(x[0]))
+    return out
+
+
+def _cross(a, b):
+    return [a[1] * b[2] - a[2] * b[1],
+            a[2] * b[0] - a[0] * b[2],
+            a[0] * b[1] - a[1] * b[0]]
+
+
+def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
+                      block_b: int = 256, interpret: bool = False,
+                      want_rod: bool = True):
+    """Build the fused spatial-sweep kernel for a concrete rod (+ optional
+    KNODE net). Returns fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3),
+    nn_params|None) -> (residual (B,6)[, y (B,N,19), z (B,N-1,6)]).
+    """
+    N = p.N
+    f = lambda v: float(np.asarray(v))
+    Kse_inv = _c3(p.Kse_c0Bse_inv)
+    Kbt_inv = _c3(p.Kbt_c0Bbt_inv)
+    Bse = _c3(p.Bse)
+    Bbt = _c3(p.Bbt)
+    rhoJ = _c3(p.rhoJ)
+    v_rest = tuple(float(x) for x in np.asarray(p.v_rest))
+    rhoAg = tuple(float(x) for x in np.asarray(p.rhoAg))
+    Cdrag = tuple(float(x) for x in np.asarray(p.C))
+    p0 = tuple(float(x) for x in np.asarray(p.p0))
+    h0 = tuple(float(x) for x in np.asarray(p.h0))
+    q0 = tuple(float(x) for x in np.asarray(p.q0))
+    w0 = tuple(float(x) for x in np.asarray(p.w0))
+    F_tip = tuple(float(x) for x in np.asarray(p.F_tip))
+    M_tip = tuple(float(x) for x in np.asarray(p.M_tip))
+    c0 = f(p.c0)
+    rhoA = f(p.rhoA)
+    ds = f(p.ds)
+    use_nn = spec is not None
+    if use_nn and spec.history:
+        raise NotImplementedError("sweep kernel supports the 28-input net")
+    hidden = spec.dims[1] if use_nn else 0
+
+    def rhs_rows(y, yh_j, zh_j, tf, w_refs):
+        """y: list of 19 (1, TB) rows; yh_j (19, TB); zh_j (6, TB);
+        tf: list of 3 rows. Returns (dy rows (19), z rows (6))."""
+        h = y[3:7]
+        n = y[7:10]
+        m = y[10:13]
+        q = y[13:16]
+        w = y[16:19]
+        vh = [zh_j[i:i + 1, :] for i in range(3)]
+        uh = [zh_j[i:i + 1, :] for i in range(3, 6)]
+
+        h1, h2, h3, h4 = h
+        hh = h1 * h1 + h2 * h2 + h3 * h3 + h4 * h4
+        s = 2.0 / hh
+        R = [[1.0 + s * (-h3 * h3 - h4 * h4), s * (h2 * h3 - h4 * h1),
+              s * (h2 * h4 + h3 * h1)],
+             [s * (h2 * h3 + h4 * h1), 1.0 + s * (-h2 * h2 - h4 * h4),
+              s * (h3 * h4 - h2 * h1)],
+             [s * (h2 * h4 - h3 * h1), s * (h3 * h4 + h2 * h1),
+              1.0 + s * (-h2 * h2 - h3 * h3)]]
+        Rt_ = lambda x: [R[0][i] * x[0] + R[1][i] * x[1] + R[2][i] * x[2]
+                         for i in range(3)]
+        R_ = lambda x: [R[i][0] * x[0] + R[i][1] * x[1] + R[i][2] * x[2]
+                        for i in range(3)]
+
+        Rtn = Rt_(n)
+        Bse_vh = _matvec3(Bse, vh)
+        v = _matvec3(Kse_inv, [Rtn[i] - Bse_vh[i] for i in range(3)])
+        v = [v[i] + v_rest[i] for i in range(3)]
+        Rtm = Rt_(m)
+        Bbt_uh = _matvec3(Bbt, uh)
+        u = _matvec3(Kbt_inv, [Rtm[i] - Bbt_uh[i] for i in range(3)])
+
+        vt = [c0 * v[i] + vh[i] for i in range(3)]
+        ut = [c0 * u[i] + uh[i] for i in range(3)]
+        qt = [c0 * q[i] + yh_j[13 + i:14 + i, :] for i in range(3)]
+        wt = [c0 * w[i] + yh_j[16 + i:17 + i, :] for i in range(3)]
+
+        drag = [Cdrag[i] * q[i] * jnp.abs(q[i]) for i in range(3)]
+        Rdrag = R_(drag)
+        fb = [rhoAg[i] - Rdrag[i] + tf[i] for i in range(3)]
+
+        ps = R_(v)
+        wxq = _cross(w, q)
+        ns = [rhoA * x - fb[i]
+              for i, x in enumerate(R_([wxq[i] + qt[i] for i in range(3)]))]
+        rJw = _matvec3(rhoJ, w)
+        rJwt = _matvec3(rhoJ, wt)
+        wxrJw = _cross(w, rJw)
+        Rm = R_([wxrJw[i] + rJwt[i] for i in range(3)])
+        psxn = _cross(ps, n)
+        ms = [Rm[i] - psxn[i] for i in range(3)]
+        uxq = _cross(u, q)
+        wxv = _cross(w, v)
+        qs = [vt[i] - uxq[i] + wxv[i] for i in range(3)]
+        uxw = _cross(u, w)
+        ws = [ut[i] - uxw[i] for i in range(3)]
+        u1, u2, u3 = u
+        hs = [0.5 * (-u1 * h2 - u2 * h3 - u3 * h4),
+              0.5 * (u1 * h1 + u3 * h3 - u2 * h4),
+              0.5 * (u2 * h1 - u3 * h2 + u1 * h4),
+              0.5 * (u3 * h1 + u2 * h2 - u1 * h3)]
+
+        dy = ps + hs + ns + ms + qs + ws
+        z = v + u
+
+        if use_nn:
+            w1_ref, b1_ref, w2_ref, b2_ref = w_refs
+            nn_in = jnp.concatenate(y + z + tf, axis=0)   # (28, TB)
+            a = jnp.dot(w1_ref[:], nn_in,
+                        preferred_element_type=jnp.float32) + b1_ref[:]
+            a = jnp.where(a > 0, a, jnp.exp(a) - 1.0) if spec.activation == "elu" \
+                else {"tanh": jnp.tanh,
+                      "relu": lambda x: jnp.maximum(x, 0.0),
+                      "softplus": lambda x: jnp.log1p(jnp.exp(-jnp.abs(x)))
+                      + jnp.maximum(x, 0.0)}[spec.activation](a)
+            out = jnp.dot(w2_ref[:], a,
+                          preferred_element_type=jnp.float32) + b2_ref[:]
+            dy = [dy[i] + out[i:i + 1, :] for i in range(19)]
+            z = [z[i] + out[19 + i:20 + i, :] for i in range(6)]
+        return dy, z
+
+    def kernel(*refs):
+        if use_nn:
+            (G_ref, yh_ref, zh_ref, tf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+             *out_refs) = refs
+            w_refs = (w1_ref, b1_ref, w2_ref, b2_ref)
+        else:
+            G_ref, yh_ref, zh_ref, tf_ref, *out_refs = refs
+            w_refs = None
+        if want_rod:
+            res_ref, y_ref, z_ref = out_refs
+        else:
+            (res_ref,) = out_refs
+
+        tf = [tf_ref[i:i + 1, :] for i in range(3)]
+        TB = G_ref.shape[1]
+        dt = G_ref.dtype
+        const_row = lambda c: jnp.full((1, TB), c, dt)
+
+        # base node y0 (cosserat_ode.py:194)
+        y = ([const_row(p0[i]) for i in range(3)]
+             + [const_row(h0[i]) for i in range(4)]
+             + [G_ref[i:i + 1, :] for i in range(6)]
+             + [const_row(q0[i]) for i in range(3)]
+             + [const_row(w0[i]) for i in range(3)])
+        if want_rod:
+            y_ref[0:19, :] = jnp.concatenate(y, axis=0)
+
+        for j in range(N - 1):  # static unroll: N is small and fixed
+            yh_j = yh_ref[19 * j:19 * (j + 1), :]
+            zh_j = zh_ref[6 * j:6 * (j + 1), :]
+            dy, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
+            y = [y[i] + ds * dy[i] for i in range(19)]
+            if want_rod:
+                y_ref[19 * (j + 1):19 * (j + 2), :] = jnp.concatenate(y, axis=0)
+                z_ref[6 * j:6 * (j + 1), :] = jnp.concatenate(z, axis=0)
+
+        res = [F_tip[i] - y[7 + i] for i in range(3)] + \
+              [M_tip[i] - y[10 + i] for i in range(3)]
+        res_ref[:] = jnp.concatenate(res, axis=0)
+
+    def fwd(G, yh, zh, tf, nn_params=None):
+        """G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3) -> outputs (B,...)."""
+        B = G.shape[0]
+        dt = G.dtype
+        TB = block_b
+        Bp = ((B + TB - 1) // TB) * TB
+
+        # transpose to state-major (rows = state, lanes = batch)
+        Gt = jnp.pad(G, ((0, Bp - B), (0, 0))).T                   # (6, Bp)
+        yht = jnp.pad(yh.reshape(B, N * 19), ((0, Bp - B), (0, 0))).T
+        zht = jnp.pad(zh.reshape(B, N * 6), ((0, Bp - B), (0, 0))).T
+        tft = jnp.pad(tf, ((0, Bp - B), (0, 0))).T                 # (3, Bp)
+
+        bspec = lambda rows: pl.BlockSpec((rows, TB), lambda i: (0, i),
+                                          memory_space=pltpu.VMEM)
+        in_specs = [bspec(6), bspec(N * 19), bspec(N * 6), bspec(3)]
+        args = [Gt, yht, zht, tft]
+        if use_nn:
+            w1 = nn_params[0]["w"]              # (hidden, 28)
+            b1 = nn_params[0]["b"][:, None]     # (hidden, 1)
+            w2 = nn_params[1]["w"]              # (25, hidden)
+            b2 = nn_params[1]["b"][:, None]
+            wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
+                                               memory_space=pltpu.VMEM)
+            in_specs += [wspec((hidden, 28)), wspec((hidden, 1)),
+                         wspec((25, hidden)), wspec((25, 1))]
+            args += [w1, b1, w2, b2]
+
+        out_shape = [jax.ShapeDtypeStruct((6, Bp), dt)]
+        out_specs = [bspec(6)]
+        if want_rod:
+            out_shape += [jax.ShapeDtypeStruct((N * 19, Bp), dt),
+                          jax.ShapeDtypeStruct(((N - 1) * 6, Bp), dt)]
+            out_specs += [bspec(N * 19), bspec((N - 1) * 6)]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(Bp // TB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+
+        res = outs[0].T[:B]
+        if not want_rod:
+            return res
+        y_out = outs[1].T[:B].reshape(B, N, 19)
+        z_out = outs[2].T[:B].reshape(B, N - 1, 6)
+        return res, y_out, z_out
+
+    return fwd

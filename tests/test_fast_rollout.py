@@ -1,0 +1,88 @@
+"""Fast (fused-sweep, FD-Newton) rollout vs the reference-parity XLA path.
+Interpret mode on CPU; TPU timing in scripts/bench_rollout.py."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu import apply_mod, calc_controls
+from knode_cosserat_tpu.core.fast_rollout import make_fast_rollout
+from knode_cosserat_tpu.core.stepper import simulate_scan
+from knode_cosserat_tpu.models import MLPSpec, init_mlp, bind
+from knode_cosserat_tpu.ops.pallas_sweep import make_sweep_kernel
+
+
+def test_sweep_kernel_matches_integrate_euler():
+    from knode_cosserat_tpu.core.spatial import integrate_euler, tip_residual
+    p = apply_mod(None)
+    k = make_sweep_kernel(p, None, block_b=128, interpret=True)
+    rng = np.random.RandomState(0)
+    B = 5
+    G = jnp.asarray(rng.randn(B, 6) * 0.01)
+    yh = jnp.asarray(rng.randn(B, p.N, 19))
+    zh = jnp.asarray(rng.randn(B, p.N, 6))
+    tf = jnp.asarray(rng.randn(B, 3))
+    res, y, z = k(G, yh, zh, tf)
+    for b in range(B):
+        y_ref, z_ref = integrate_euler(p, G[b], yh[b], zh[b], tf[b])
+        np.testing.assert_allclose(np.asarray(y[b]), np.asarray(y_ref),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(z[b]), np.asarray(z_ref),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(res[b]),
+                                   np.asarray(tip_residual(p, y_ref)),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_sweep_kernel_with_nn():
+    from knode_cosserat_tpu.core.spatial import integrate_euler
+    p = apply_mod(None, dtype=jnp.float32)
+    spec = MLPSpec.for_knode(16)
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float32)
+    k = make_sweep_kernel(p, spec, block_b=128, interpret=True)
+    rng = np.random.RandomState(1)
+    B = 3
+    G = jnp.asarray(rng.randn(B, 6) * 0.01, jnp.float32)
+    yh = jnp.asarray(rng.randn(B, p.N, 19), jnp.float32)
+    zh = jnp.asarray(rng.randn(B, p.N, 6), jnp.float32)
+    tf = jnp.asarray(rng.randn(B, 3), jnp.float32)
+    res, y, z = k(G, yh, zh, tf, params)
+    for b in range(B):
+        y_ref, _ = integrate_euler(p, G[b], yh[b], zh[b], tf[b],
+                                   nn_fn=bind(spec, params))
+        np.testing.assert_allclose(np.asarray(y[b]), np.asarray(y_ref),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fast_rollout_driver_matches_simulate_scan():
+    """The FD-Newton driver (impl='xla' so CPU tests run in seconds; the
+    pallas sweep itself is pinned equal to integrate_euler above) produces
+    the same trajectories as the autodiff-Jacobian scan rollout."""
+    p = apply_mod(None)
+    roll = jax.jit(make_fast_rollout(p, tol=1e-16, impl="xla"))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 8),
+                     calc_controls("step", 1.0, float(p.del_t), 8)])
+    traj, res, iters = roll(jnp.asarray(ctls))
+    assert traj.shape == (2, 8, p.N, 50)
+    assert float(jnp.max(res)) < 1e-6
+    for i in range(2):
+        ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[i])).traj)
+        # FD-Newton and autodiff-Newton converge to the same root within
+        # residual tolerance; history channels (x c0 = 30) amplify the
+        # root difference to ~1e-6 absolute
+        np.testing.assert_allclose(np.asarray(traj[i]), ref, rtol=1e-6,
+                                   atol=5e-6)
+
+
+def test_fast_rollout_driver_hybrid():
+    p = apply_mod("nsw")
+    spec = MLPSpec.for_knode(8)
+    params = jax.tree.map(lambda x: x * 1e-3,
+                          init_mlp(spec, jax.random.PRNGKey(0), jnp.float64))
+    roll = jax.jit(make_fast_rollout(p, spec=spec, tol=1e-16, impl="xla"))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 6)])
+    traj, res, iters = roll(jnp.asarray(ctls), params)
+    ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[0]),
+                                   nn_fn=bind(spec, params)).traj)
+    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-6,
+                               atol=5e-6)
