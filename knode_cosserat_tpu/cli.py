@@ -112,6 +112,16 @@ def cmd_simulate(args):
                        for l in ckpt["params"])
         traj = np.asarray(rollout_with_nn(p, jnp.asarray(controls, p.dtype),
                                           spec, params))
+    elif args.fast:
+        import jax
+        import jax.numpy as jnp
+        from .core.fast_rollout import make_fast_rollout
+        on_cpu = jax.default_backend() == "cpu"
+        # pallas compiles only on TPU; CPU falls back to the same FD-Newton
+        # driver over XLA sweeps
+        roll = jax.jit(make_fast_rollout(p, impl="xla" if on_cpu else "pallas"))
+        traj3, _, _ = roll(jnp.asarray(controls, p.dtype)[None])
+        traj = np.asarray(traj3[0])
     else:
         traj = np.asarray(simulate(p, controls))
     os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
@@ -304,6 +314,8 @@ def main(argv=None):
     sp.add_argument("--original", action="store_true")
     sp.add_argument("--model", type=str, default=None)
     sp.add_argument("--real_data", type=str, default=None)
+    sp.add_argument("--fast", action="store_true",
+                    help="fused-sweep Pallas rollout (TPU)")
     sp.add_argument("--save", type=str, default="data/quick_test.npz")
     sp.add_argument("--gif", type=str, default=None)
     sp.set_defaults(fn=cmd_simulate)
