@@ -65,13 +65,19 @@ def make_fast_rollout(
     block_b: int = 256,
     interpret: bool = False,
     impl: str = "pallas",
+    jacobian_refresh: int = 1,
+    fd_order: int = 2,
 ):
     """Build fn(controls (R, T, 4), nn_params|None) -> traj (R, T, N, 50).
 
     Output matches core.stepper.simulate_scan over a vmapped rod batch
     (same record layout, same dropped final step, same frozen tip-z).
     impl: "pallas" (fused kernel) or "xla" (vmapped scan sweeps — same
-    driver, used for CPU validation)."""
+    driver, used for CPU validation).
+    jacobian_refresh: recompute the FD Jacobian every k-th iteration
+    (chord/Shamanskii Newton). 1 = every iteration; higher values skip the
+    probe launches on intermediate iterations — the residual stays exact,
+    so converged roots are unchanged, only the path differs."""
     N = p.N
     dtype = p.dtype
     if impl == "pallas":
@@ -84,7 +90,11 @@ def make_fast_rollout(
         k_full = _xla_sweeps(p, spec, want_rod=True)
     else:
         raise ValueError(impl)
-    eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
+    # FD step: sqrt(machine eps) for forward differences, cbrt for central
+    if fd_order == 2:
+        eps = jnp.asarray(6e-6 if dtype == jnp.float64 else 5e-3, dtype)
+    else:
+        eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
     alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
     eye = jnp.eye(6, dtype=dtype)
 
@@ -107,19 +117,35 @@ def make_fast_rollout(
             r0 = k_res(G, yh, zh, tf, nn_params)
 
             def cond(state):
-                G, r, r2, it, stalled = state
+                G, r, r2, J, it, stalled = state
                 return jnp.any((r2 > tol) & (~stalled)) & (it < max_iter)
 
-            def body(state):
-                G, r, r2, it, stalled = state
-                # FD Jacobian probes: (R, 6, 6) -> one kernel launch
+            def fd_jacobian(G, r):
+                # FD Jacobian probes in ONE kernel launch: forward (6
+                # probes, O(h) truncation) or central (12, O(h^2) — fewer
+                # Newton iterations, net cheaper)
                 h = eps * (1.0 + jnp.abs(G))                 # (R, 6)
-                probes = G[:, None, :] + h[:, None, :] * eye[None]  # (R,6,6)
-                r_p = res_batch(probes.reshape(R * 6, 6), yh, zh, tf, 6)
-                r_p = r_p.reshape(R, 6, 6)
-                # J[a, i, k] = d r_i / d G_k  (probe axis = k)
-                J = (r_p - r[:, None, :]) / h[:, None, :]
-                J = jnp.swapaxes(J, 1, 2)                    # (R, 6, 6)
+                plus = G[:, None, :] + h[:, None, :] * eye[None]   # (R,6,6)
+                if fd_order == 2:
+                    minus = G[:, None, :] - h[:, None, :] * eye[None]
+                    probes = jnp.concatenate([plus, minus], axis=1)
+                    r_p = res_batch(probes.reshape(R * 12, 6), yh, zh, tf,
+                                    12).reshape(R, 12, 6)
+                    J = (r_p[:, :6] - r_p[:, 6:]) / (2 * h[:, :, None])
+                else:
+                    r_p = res_batch(plus.reshape(R * 6, 6), yh, zh, tf,
+                                    6).reshape(R, 6, 6)
+                    J = (r_p - r[:, None, :]) / h[:, :, None]
+                # J rows indexed by probe k -> d r_i / d G_k
+                return jnp.swapaxes(J, 1, 2)                 # (R, 6, 6)
+
+            def body(state):
+                G, r, r2, J, it, stalled = state
+                if jacobian_refresh == 1:
+                    J = fd_jacobian(G, r)
+                else:
+                    J = lax.cond(it % jacobian_refresh == 0,
+                                 lambda: fd_jacobian(G, r), lambda: J)
 
                 dG = solve_small(J, -r)
                 dG = jnp.where(jnp.all(jnp.isfinite(dG), axis=-1,
@@ -146,12 +172,12 @@ def make_fast_rollout(
                 r = jnp.where(active[:, None], r_new, r)
                 r2_out = jnp.where(active, r2_new, r2)
                 stalled = stalled | (active & (~found))
-                return (G, r, r2_out, it + 1, stalled)
+                return (G, r, r2_out, J, it + 1, stalled)
 
             r2 = jnp.sum(r0 * r0, axis=-1)
-            state = (G, r0, r2, jnp.array(0, jnp.int32),
-                     jnp.zeros(R, bool))
-            G, r, r2, it, _ = lax.while_loop(cond, body, state)
+            state = (G, r0, r2, jnp.zeros((R, 6, 6), dtype),
+                     jnp.array(0, jnp.int32), jnp.zeros(R, bool))
+            G, r, r2, _, it, _ = lax.while_loop(cond, body, state)
             return G, r2, it
 
         def step(carry, tensions):

@@ -67,11 +67,10 @@ def test_fast_rollout_driver_matches_simulate_scan():
     assert float(jnp.max(res)) < 1e-6
     for i in range(2):
         ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[i])).traj)
-        # FD-Newton and autodiff-Newton converge to the same root within
-        # residual tolerance; history channels (x c0 = 30) amplify the
-        # root difference to ~1e-6 absolute
-        np.testing.assert_allclose(np.asarray(traj[i]), ref, rtol=1e-6,
-                                   atol=5e-6)
+        # central-difference Newton converges to the same root as the
+        # autodiff path to near machine precision
+        np.testing.assert_allclose(np.asarray(traj[i]), ref, rtol=1e-9,
+                                   atol=5e-10)
 
 
 def test_fast_rollout_driver_hybrid():
@@ -84,5 +83,5 @@ def test_fast_rollout_driver_hybrid():
     traj, res, iters = roll(jnp.asarray(ctls), params)
     ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[0]),
                                    nn_fn=bind(spec, params)).traj)
-    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-6,
-                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
+                               atol=1e-10)
