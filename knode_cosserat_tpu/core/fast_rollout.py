@@ -33,7 +33,121 @@ from ..ops.pallas_sweep import make_sweep_kernel
 from .params import RodParams
 from .stepper import initial_state
 
-__all__ = ["make_fast_rollout"]
+__all__ = ["make_fast_rollout", "make_fast_step"]
+
+
+def _build_kernels(p, spec, block_b, interpret, impl):
+    if impl == "pallas":
+        return (make_sweep_kernel(p, spec, block_b=block_b,
+                                  interpret=interpret, want_rod=False),
+                make_sweep_kernel(p, spec, block_b=block_b,
+                                  interpret=interpret, want_rod=True))
+    if impl == "xla":
+        return (_xla_sweeps(p, spec, want_rod=False),
+                _xla_sweeps(p, spec, want_rod=True))
+    raise ValueError(impl)
+
+
+def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
+                jacobian_refresh, fd_order):
+    """Shared single-BDF-2-step builder: returns
+    step(y, z, y_prev, z_prev, G, tensions, nn_params) ->
+    (y_new, z_new, G_new, r2, iters). All leading axes are the rod batch R."""
+    dtype = p.dtype
+    if fd_order == 2:
+        eps = jnp.asarray(6e-6 if dtype == jnp.float64 else 5e-3, dtype)
+    else:
+        eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
+    alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
+    eye = jnp.eye(6, dtype=dtype)
+
+    def step(y, z, y_prev, z_prev, G, tensions, nn_params=None):
+        R = y.shape[0]
+        yh = p.c1 * y + p.c2 * y_prev
+        zh = p.c1 * z + p.c2 * z_prev
+        tf = jnp.asarray(tensions, dtype) @ p.tendon_dirs      # (R, 3)
+
+        def res_batch(G_flat, width):
+            rep = lambda a: jnp.repeat(a, width, axis=0)
+            return k_res(G_flat, rep(yh), rep(zh), rep(tf), nn_params)
+
+        def fd_jacobian(G, r):
+            h = eps * (1.0 + jnp.abs(G))
+            plus = G[:, None, :] + h[:, None, :] * eye[None]
+            if fd_order == 2:
+                minus = G[:, None, :] - h[:, None, :] * eye[None]
+                probes = jnp.concatenate([plus, minus], axis=1)
+                r_p = res_batch(probes.reshape(R * 12, 6),
+                                12).reshape(R, 12, 6)
+                J = (r_p[:, :6] - r_p[:, 6:]) / (2 * h[:, :, None])
+            else:
+                r_p = res_batch(plus.reshape(R * 6, 6), 6).reshape(R, 6, 6)
+                J = (r_p - r[:, None, :]) / h[:, :, None]
+            return jnp.swapaxes(J, 1, 2)
+
+        def cond(state):
+            G, r, r2, J, it, stalled = state
+            return jnp.any((r2 > tol) & (~stalled)) & (it < max_iter)
+
+        def body(state):
+            G, r, r2, J, it, stalled = state
+            if jacobian_refresh == 1:
+                J = fd_jacobian(G, r)
+            else:
+                J = lax.cond(it % jacobian_refresh == 0,
+                             lambda: fd_jacobian(G, r), lambda: J)
+            dG = solve_small(J, -r)
+            dG = jnp.where(jnp.all(jnp.isfinite(dG), axis=-1,
+                                   keepdims=True), dG, 0.0)
+            cand = G[:, None, :] + alphas[None, :, None] * dG[:, None, :]
+            r_c = res_batch(cand.reshape(R * n_alphas, 6),
+                            n_alphas).reshape(R, n_alphas, 6)
+            r2_c = jnp.sum(r_c * r_c, axis=-1)
+            improves = r2_c < r2[:, None]
+            idx = jnp.argmax(improves, axis=1)
+            found = jnp.any(improves, axis=1)
+            pick = jnp.where(found, idx, 0)
+            take = lambda a: jnp.take_along_axis(
+                a, pick[:, None, None], axis=1).squeeze(1)
+            active = (r2 > tol) & (~stalled)
+            G = jnp.where(active[:, None], take(cand), G)
+            r = jnp.where(active[:, None], take(r_c), r)
+            r2 = jnp.where(active, jnp.take_along_axis(
+                r2_c, pick[:, None], axis=1)[:, 0], r2)
+            stalled = stalled | (active & (~found))
+            return (G, r, r2, J, it + 1, stalled)
+
+        r0 = k_res(G, yh, zh, tf, nn_params)
+        r2 = jnp.sum(r0 * r0, axis=-1)
+        state = (G, r0, r2, jnp.zeros((R, 6, 6), dtype),
+                 jnp.array(0, jnp.int32), jnp.zeros(R, bool))
+        G_new, _, r2, _, it, _ = lax.while_loop(cond, body, state)
+
+        _, y_new, z_body = k_full(G_new, yh, zh, tf, nn_params)
+        z_new = jnp.concatenate([z_body, z[:, -1:, :]], axis=1)
+        return y_new, z_new, G_new, yh, zh, r2, it
+
+    return step
+
+
+def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
+                   tol: float = 1e-12, max_iter: int = 30,
+                   n_alphas: int = 7, block_b: int = 256,
+                   interpret: bool = False, impl: str = "pallas",
+                   jacobian_refresh: int = 1, fd_order: int = 2):
+    """Single fused BDF-2 step (serving / control loops): fn(y, z, y_prev,
+    z_prev, G, tensions, nn_params) -> (y_new, z_new, G_new, residual2,
+    iters). Batched over a leading rod axis."""
+    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl)
+    inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
+                        jacobian_refresh, fd_order)
+
+    def step(y, z, y_prev, z_prev, G, tensions, nn_params=None):
+        y_new, z_new, G_new, _, _, r2, it = inner(
+            y, z, y_prev, z_prev, G, tensions, nn_params)
+        return y_new, z_new, G_new, r2, it
+
+    return step
 
 
 def _xla_sweeps(p: RodParams, spec, want_rod: bool):
@@ -80,23 +194,9 @@ def make_fast_rollout(
     so converged roots are unchanged, only the path differs."""
     N = p.N
     dtype = p.dtype
-    if impl == "pallas":
-        k_res = make_sweep_kernel(p, spec, block_b=block_b,
-                                  interpret=interpret, want_rod=False)
-        k_full = make_sweep_kernel(p, spec, block_b=block_b,
-                                   interpret=interpret, want_rod=True)
-    elif impl == "xla":
-        k_res = _xla_sweeps(p, spec, want_rod=False)
-        k_full = _xla_sweeps(p, spec, want_rod=True)
-    else:
-        raise ValueError(impl)
-    # FD step: sqrt(machine eps) for forward differences, cbrt for central
-    if fd_order == 2:
-        eps = jnp.asarray(6e-6 if dtype == jnp.float64 else 5e-3, dtype)
-    else:
-        eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
-    alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
-    eye = jnp.eye(6, dtype=dtype)
+    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl)
+    inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
+                        jacobian_refresh, fd_order)
 
     def rollout(controls, nn_params=None):
         controls = jnp.asarray(controls, dtype)
@@ -105,97 +205,18 @@ def make_fast_rollout(
         y0 = jnp.broadcast_to(y0, (R, N, 19))
         z0 = jnp.broadcast_to(z0, (R, N, 6))
         G0 = jnp.zeros((R, 6), dtype)
-        z_tip = z0[:, -1]
-
-        def res_batch(G_flat, yh, zh, tf, width):
-            """G_flat (R*width, 6); yh/zh/tf per rod, repeated per variant."""
-            rep = lambda a: jnp.repeat(a, width, axis=0)
-            return k_res(G_flat, rep(yh), rep(zh), rep(tf),
-                         nn_params)  # (R*width, 6)
-
-        def newton(G, yh, zh, tf):
-            r0 = k_res(G, yh, zh, tf, nn_params)
-
-            def cond(state):
-                G, r, r2, J, it, stalled = state
-                return jnp.any((r2 > tol) & (~stalled)) & (it < max_iter)
-
-            def fd_jacobian(G, r):
-                # FD Jacobian probes in ONE kernel launch: forward (6
-                # probes, O(h) truncation) or central (12, O(h^2) — fewer
-                # Newton iterations, net cheaper)
-                h = eps * (1.0 + jnp.abs(G))                 # (R, 6)
-                plus = G[:, None, :] + h[:, None, :] * eye[None]   # (R,6,6)
-                if fd_order == 2:
-                    minus = G[:, None, :] - h[:, None, :] * eye[None]
-                    probes = jnp.concatenate([plus, minus], axis=1)
-                    r_p = res_batch(probes.reshape(R * 12, 6), yh, zh, tf,
-                                    12).reshape(R, 12, 6)
-                    J = (r_p[:, :6] - r_p[:, 6:]) / (2 * h[:, :, None])
-                else:
-                    r_p = res_batch(plus.reshape(R * 6, 6), yh, zh, tf,
-                                    6).reshape(R, 6, 6)
-                    J = (r_p - r[:, None, :]) / h[:, :, None]
-                # J rows indexed by probe k -> d r_i / d G_k
-                return jnp.swapaxes(J, 1, 2)                 # (R, 6, 6)
-
-            def body(state):
-                G, r, r2, J, it, stalled = state
-                if jacobian_refresh == 1:
-                    J = fd_jacobian(G, r)
-                else:
-                    J = lax.cond(it % jacobian_refresh == 0,
-                                 lambda: fd_jacobian(G, r), lambda: J)
-
-                dG = solve_small(J, -r)
-                dG = jnp.where(jnp.all(jnp.isfinite(dG), axis=-1,
-                                       keepdims=True), dG, 0.0)
-
-                # line-search candidates: (R, A, 6) -> one kernel launch
-                cand = G[:, None, :] + alphas[None, :, None] * dG[:, None, :]
-                r_c = res_batch(cand.reshape(R * n_alphas, 6), yh, zh, tf,
-                                n_alphas).reshape(R, n_alphas, 6)
-                r2_c = jnp.sum(r_c * r_c, axis=-1)           # (R, A)
-                improves = r2_c < r2[:, None]
-                idx = jnp.argmax(improves, axis=1)
-                found = jnp.any(improves, axis=1)
-                pick = jnp.where(found, idx, 0)
-                take = lambda a: jnp.take_along_axis(
-                    a, pick[:, None, None] if a.ndim == 3 else pick[:, None],
-                    axis=1).squeeze(1)
-                G_new = take(cand)
-                r_new = take(r_c)
-                r2_new = jnp.take_along_axis(r2_c, pick[:, None],
-                                             axis=1)[:, 0]
-                active = (r2 > tol) & (~stalled)
-                G = jnp.where(active[:, None], G_new, G)
-                r = jnp.where(active[:, None], r_new, r)
-                r2_out = jnp.where(active, r2_new, r2)
-                stalled = stalled | (active & (~found))
-                return (G, r, r2_out, J, it + 1, stalled)
-
-            r2 = jnp.sum(r0 * r0, axis=-1)
-            state = (G, r0, r2, jnp.zeros((R, 6, 6), dtype),
-                     jnp.array(0, jnp.int32), jnp.zeros(R, bool))
-            G, r, r2, _, it, _ = lax.while_loop(cond, body, state)
-            return G, r2, it
 
         def step(carry, tensions):
             y, z, y_prev, z_prev, G = carry
-            yh = p.c1 * y + p.c2 * y_prev
-            zh = p.c1 * z + p.c2 * z_prev
-            tf = tensions @ p.tendon_dirs                     # (R, 3)
-
-            G_new, r2, iters = newton(G, yh, zh, tf)
-            _, y_new, z_body = k_full(G_new, yh, zh, tf, nn_params)
-            z_new = jnp.concatenate([z_body, z_tip[:, None, :]], axis=1)
+            y_new, z_new, G_new, yh, zh, r2, iters = inner(
+                y, z, y_prev, z_prev, G, tensions, nn_params)
             record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
             return ((y_new, z_new, y, z, G_new),
                     (record, jnp.sqrt(r2), iters))
 
         carry0 = (y0, z0, y0, z0, G0)
-        _, (records, res, iters) = lax.scan(step, carry0,
-                                            jnp.swapaxes(controls, 0, 1)[:T - 1])
+        _, (records, res, iters) = lax.scan(
+            step, carry0, jnp.swapaxes(controls, 0, 1)[:T - 1])
         rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
         traj = jnp.concatenate([rec0, records], axis=0)       # (T, R, N, 50)
         return jnp.swapaxes(traj, 0, 1), res, iters

@@ -50,30 +50,57 @@ class CompiledStepper:
 
     def __init__(self, p: RodParams, spec: Optional[MLPSpec] = None,
                  nn_params=None, batch: Optional[int] = None,
-                 tol: float = 1e-10, max_iter: int = 20):
+                 tol: float = 1e-10, max_iter: int = 20,
+                 fast: bool = False, fast_impl: Optional[str] = None):
         self.p = p
         self.spec = spec
         self.batch = batch
         self._nn_params = nn_params
+        self._fast = fast
 
-        def one_step(nn_params, y, z, y_prev, z_prev, G, tensions):
-            nn_fn = bind(spec, nn_params) if spec is not None else None
-            yh = p.c1 * y + p.c2 * y_prev
-            zh = p.c1 * z + p.c2 * z_prev
-            tf = tensions @ p.tendon_dirs
+        if fast:
+            # fused-sweep path: one Pallas launch per Newton phase
+            # (core/fast_rollout.make_fast_step); ~an order of magnitude
+            # lower step latency than the scan path on TPU
+            from .core.fast_rollout import make_fast_step
+            impl = fast_impl or ("xla" if jax.default_backend() == "cpu"
+                                 else "pallas")
+            inner = make_fast_step(p, spec, tol=tol, max_iter=max_iter,
+                                   impl=impl)
 
-            def res(Gx):
-                yi, _ = integrate_euler(p, Gx, yh, zh, tf, nn_fn)
-                return tip_residual(p, yi)
+            def one_step(nn_params, y, z, y_prev, z_prev, G, tensions):
+                batched = y.ndim == 3
+                up = (lambda a: a) if batched else (lambda a: a[None])
+                down = (lambda a: a) if batched else (lambda a: a[0])
+                y_n, z_n, G_n, r2, _ = inner(up(y), up(z), up(y_prev),
+                                             up(z_prev), up(G), up(tensions),
+                                             nn_params)
+                return (down(y_n), down(z_n), down(G_n),
+                        jnp.sqrt(jnp.max(r2)))
 
-            G_new, stats = newton_solve(res, G, tol=tol, max_iter=max_iter)
-            y_new, z_body = integrate_euler(p, G_new, yh, zh, tf, nn_fn)
-            z_new = jnp.concatenate([z_body, z[-1:]], axis=0)
-            return y_new, z_new, G_new, stats.residual_norm
+            fn = one_step
+        else:
+            def one_step(nn_params, y, z, y_prev, z_prev, G, tensions):
+                nn_fn = bind(spec, nn_params) if spec is not None else None
+                yh = p.c1 * y + p.c2 * y_prev
+                zh = p.c1 * z + p.c2 * z_prev
+                tf = tensions @ p.tendon_dirs
 
-        fn = one_step
-        if batch is not None:
-            fn = jax.vmap(one_step, in_axes=(None, 0, 0, 0, 0, 0, 0))
+                def res(Gx):
+                    yi, _ = integrate_euler(p, Gx, yh, zh, tf, nn_fn)
+                    return tip_residual(p, yi)
+
+                G_new, stats = newton_solve(res, G, tol=tol,
+                                            max_iter=max_iter)
+                y_new, z_body = integrate_euler(p, G_new, yh, zh, tf, nn_fn)
+                z_new = jnp.concatenate([z_body, z[-1:]], axis=0)
+                return y_new, z_new, G_new, stats.residual_norm
+
+            fn = one_step
+            if batch is not None:
+                fn = jax.vmap(one_step, in_axes=(None, 0, 0, 0, 0, 0, 0))
+        if fast and batch is not None:
+            pass  # make_fast_step is natively batched; no vmap needed
 
         state = self.reset()
         tensions = self._tensions_like()

@@ -39,3 +39,18 @@ def test_compiled_stepper_batched_hybrid():
     np.testing.assert_array_equal(y[0], y[1])
     b = stepper.benchmark(n=5)
     assert b["latency_ms"] > 0 and np.isfinite(b["realtime_factor"])
+
+
+def test_compiled_stepper_fast_matches_scan_path():
+    p = apply_mod(None)
+    slow = CompiledStepper(p, tol=1e-16, max_iter=50)
+    fast = CompiledStepper(p, tol=1e-16, max_iter=50, fast=True,
+                           fast_impl="xla")
+    ctl = calc_controls("sine", 1.0, float(p.del_t), 5)
+    s1, s2 = slow.reset(), fast.reset()
+    for t in range(4):
+        s1, _ = slow.step(s1, ctl[t])
+        s2, info = fast.step(s2, ctl[t])
+        assert float(info["residual"]) < 1e-7
+    np.testing.assert_allclose(np.asarray(s2.y), np.asarray(s1.y),
+                               rtol=1e-9, atol=1e-9)
