@@ -24,4 +24,5 @@ from .core.params import (RodParams, make_rod, derive, experimental_rod,
                           original_rod, apply_mod, MODS)
 from .core.rhs import rhs
 from .core.stepper import simulate, simulate_scan, initial_state, SimOutput
+from .core.fast_rollout import make_fast_rollout, make_fast_step
 from .controls import calc_controls

@@ -19,7 +19,6 @@ path to solver tolerance — pinned by tests/test_fast_rollout.py.
 """
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional
 
 import jax

@@ -99,8 +99,6 @@ class CompiledStepper:
             fn = one_step
             if batch is not None:
                 fn = jax.vmap(one_step, in_axes=(None, 0, 0, 0, 0, 0, 0))
-        if fast and batch is not None:
-            pass  # make_fast_step is natively batched; no vmap needed
 
         state = self.reset()
         tensions = self._tensions_like()
