@@ -71,6 +71,9 @@ def make_fused_next_segment(p: RodParams, spec: MLPSpec,
     """
     if spec.history:
         raise NotImplementedError("fused kernel supports the 28-input net")
+    if len(spec.dims) != 3:
+        raise NotImplementedError("fused kernel supports the 2-layer MLP; "
+                                  f"got dims {spec.dims}")
 
     f = lambda v: float(np.asarray(v))
     Kse_inv = _c3(p.Kse_c0Bse_inv)

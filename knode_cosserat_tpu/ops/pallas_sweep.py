@@ -84,6 +84,9 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
     use_nn = spec is not None
     if use_nn and spec.history:
         raise NotImplementedError("sweep kernel supports the 28-input net")
+    if use_nn and len(spec.dims) != 3:
+        raise NotImplementedError("sweep kernel supports the 2-layer MLP; "
+                                  f"got dims {spec.dims}")
     hidden = spec.dims[1] if use_nn else 0
 
     def rhs_rows(y, yh_j, zh_j, tf, w_refs):

@@ -147,3 +147,21 @@ def test_gradients_nonzero_for_all_layers():
     for layer in g:
         assert float(jnp.abs(layer["w"]).max()) > 0
         assert float(jnp.abs(layer["b"]).max()) > 0
+
+
+def test_deep_mlp_trains():
+    """MLPSpec supports arbitrary depth (the reference had a commented-out
+    5-layer variant, cosserat_ode_torch.py:63-73)."""
+    from knode_cosserat_tpu.models import MLPSpec, init_mlp, mlp_apply
+    spec = MLPSpec(dims=(28, 32, 64, 25), activation="softplus")
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float64)
+    assert len(params) == 3
+    out = mlp_apply(spec, params, jnp.ones((7, 28)))
+    assert out.shape == (7, 25)
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    g = jax.grad(lambda q: teacher_forced_loss(
+        p_mod, spec, q, trajs[0], ctls[0]))(params)
+    assert all(float(jnp.abs(l["w"]).max()) > 0 for l in g)
