@@ -141,20 +141,26 @@ def main():
     ours = EPOCHS_MEASURE / (time.perf_counter() - t0)
     assert np.isfinite(np.asarray(losses)).all()
 
-    # torch CPU baseline
+    # torch CPU baseline. The denominator is the FASTEST torch measurement
+    # ever recorded (CPU contention can only slow torch down, so taking the
+    # max keeps the reported speedup conservative/fair).
     torch_eps = None
+    stored = None
+    if os.path.exists(STORED_BASELINE_FILE):
+        with open(STORED_BASELINE_FILE) as f:
+            stored = json.load(f)["torch_cpu_epochs_per_sec"]
     try:
         if os.path.isdir("/root/reference/knode_cosserat"):
             torch_eps = measure_torch_cpu_epoch()
-            with open(STORED_BASELINE_FILE, "w") as f:
-                json.dump({"torch_cpu_epochs_per_sec": torch_eps,
-                           "config": {"trajs": 2, "train_len": TRAIN_LEN,
-                                      "hidden": HIDDEN}}, f)
     except Exception as e:
         print(f"# live torch baseline failed: {e}", file=sys.stderr)
-    if torch_eps is None and os.path.exists(STORED_BASELINE_FILE):
-        with open(STORED_BASELINE_FILE) as f:
-            torch_eps = json.load(f)["torch_cpu_epochs_per_sec"]
+    torch_eps = max(x for x in (torch_eps, stored) if x is not None) \
+        if (torch_eps or stored) else None
+    if torch_eps is not None:
+        with open(STORED_BASELINE_FILE, "w") as f:
+            json.dump({"torch_cpu_epochs_per_sec": torch_eps,
+                       "config": {"trajs": 2, "train_len": TRAIN_LEN,
+                                  "hidden": HIDDEN}}, f)
 
     vs = (ours / torch_eps) if torch_eps else None
     print(json.dumps({
