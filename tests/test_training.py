@@ -165,3 +165,40 @@ def test_deep_mlp_trains():
     g = jax.grad(lambda q: teacher_forced_loss(
         p_mod, spec, q, trajs[0], ctls[0]))(params)
     assert all(float(jnp.abs(l["w"]).max()) > 0 for l in g)
+
+
+def test_history_variant_loss_parity_vs_reference_torch():
+    """The 53-input [y, yh, z, zh, tf] KNODE variant
+    (cosserat_ode.py:171-175, cosserat_ode_torch.py:60) matches the
+    reference with identical weights."""
+    import torch
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from cosserat_ode_torch import CosseratRodTorch  # reference oracle
+    from knode import setup_robot                    # reference oracle
+
+    hidden = 24
+    ref = apply_mod(None)
+    p_mod = apply_mod("youngs")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    spec = MLPSpec.for_knode(hidden, history=True)
+    assert spec.dims[0] == 53
+    params = init_mlp(spec, jax.random.PRNGKey(2), jnp.float32)
+
+    ours = float(teacher_forced_loss(
+        p_mod, spec, params,
+        jnp.asarray(trajs[0], jnp.float32),
+        jnp.asarray(ctls[0], jnp.float32), (3, 5, 7, 9)))
+
+    robot = CosseratRodTorch("cpu", hidden, nn_input_history=True)
+    setup_robot(robot, "youngs")
+    robot.use_nn = True
+    with torch.no_grad():
+        robot.nn_models[0].weight.copy_(torch.tensor(np.asarray(params[0]["w"])))
+        robot.nn_models[0].bias.copy_(torch.tensor(np.asarray(params[0]["b"])))
+        robot.nn_models[2].weight.copy_(torch.tensor(np.asarray(params[1]["w"])))
+        robot.nn_models[2].bias.copy_(torch.tensor(np.asarray(params[1]["b"])))
+    traj_ref = np.swapaxes(np.asarray(trajs[0]), 1, 2)
+    theirs = _reference_fast_loss(robot, traj_ref, np.asarray(ctls[0]),
+                                  (3, 5, 7, 9))
+    assert ours == pytest.approx(theirs, rel=2e-4), (ours, theirs)
