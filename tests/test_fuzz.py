@@ -48,3 +48,17 @@ def test_zero_tension_is_gravity_sag_only():
     traj = np.asarray(out.traj)
     # without tendon asymmetry the rod stays in near-vertical configuration
     assert np.abs(traj[-1, -1, 0:2]).max() < 0.05
+
+
+def test_long_rollout_stays_healthy():
+    """Realworld-track rollouts run for hundreds of steps
+    (prepare.py: 60 s at del_t=0.05); a 200-step rollout must stay
+    converged and bounded."""
+    from knode_cosserat_tpu import apply_mod, calc_controls
+    p = apply_mod(None)
+    ctl = calc_controls("sine", 2.0, float(p.del_t), 200)
+    out = simulate_scan(p, jnp.asarray(ctl))
+    rep = check_rollout(out, residual_tol=1e-6)
+    assert rep.ok, str(rep)
+    traj = np.asarray(out.traj)
+    assert np.abs(traj[:, :, :3]).max() < 2 * float(p.L)
