@@ -154,3 +154,27 @@ def test_cli_playback(tmp_path):
                        timeout=400)
     assert r.returncode == 0, r.stderr[-2000:]
     assert gif.exists()
+
+
+def test_cli_train_real_chain(tmp_path):
+    """prepare -> estimate -> train-real, the full real-data track."""
+    csv_dir = tmp_path / "sin_1_0_amp_300"
+    csv_dir.mkdir()
+    _write_synthetic_csvs(csv_dir, T=130)
+    out_dir = tmp_path / "datas"
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    for cmd in (["prepare", str(csv_dir), "--out_dir", str(out_dir)],
+                ["estimate", "sin_1_0_amp_300", "--data_dir", str(out_dir)]):
+        r = subprocess.run([sys.executable, "-m", "knode_cosserat_tpu", *cmd],
+                           capture_output=True, text=True, cwd=REPO, env=env,
+                           timeout=500)
+        assert r.returncode == 0, r.stderr[-2000:]
+    r = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "train-real",
+         "--data", "sin_1_0_amp_300", "--data_dir", str(out_dir),
+         "--epochs", "3", "--layers", "8", "--train_len", "20",
+         "--save_path", str(tmp_path / "real_model")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=500)
+    assert r.returncode == 0, r.stderr[-2000:]
+    assert (tmp_path / "real_model.npz").exists()
