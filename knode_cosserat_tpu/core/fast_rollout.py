@@ -35,15 +35,15 @@ from .stepper import initial_state
 __all__ = ["make_fast_rollout", "make_fast_step"]
 
 
-def _build_kernels(p, spec, block_b, interpret, impl):
+def _build_kernels(p, spec, block_b, interpret, impl, method="euler"):
     if impl == "pallas":
-        return (make_sweep_kernel(p, spec, block_b=block_b,
+        return (make_sweep_kernel(p, spec, block_b=block_b, method=method,
                                   interpret=interpret, want_rod=False),
-                make_sweep_kernel(p, spec, block_b=block_b,
+                make_sweep_kernel(p, spec, block_b=block_b, method=method,
                                   interpret=interpret, want_rod=True))
     if impl == "xla":
-        return (_xla_sweeps(p, spec, want_rod=False),
-                _xla_sweeps(p, spec, want_rod=True))
+        return (_xla_sweeps(p, spec, want_rod=False, method=method),
+                _xla_sweeps(p, spec, want_rod=True, method=method))
     raise ValueError(impl)
 
 
@@ -133,11 +133,13 @@ def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
                    tol: float = 1e-12, max_iter: int = 30,
                    n_alphas: int = 7, block_b: int = 256,
                    interpret: bool = False, impl: str = "pallas",
-                   jacobian_refresh: int = 1, fd_order: int = 2):
+                   jacobian_refresh: int = 1, fd_order: int = 2,
+                   method: str = "euler"):
     """Single fused BDF-2 step (serving / control loops): fn(y, z, y_prev,
     z_prev, G, tensions, nn_params) -> (y_new, z_new, G_new, residual2,
     iters). Batched over a leading rod axis."""
-    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl)
+    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
+                                   method)
     inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
                         jacobian_refresh, fd_order)
 
@@ -149,18 +151,24 @@ def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
     return step
 
 
-def _xla_sweeps(p: RodParams, spec, want_rod: bool):
+def _xla_sweeps(p: RodParams, spec, want_rod: bool, method: str = "euler"):
     """Pure-XLA stand-in for the pallas sweep kernel (same signature);
     used for CPU testing of the FD-Newton driver and as a fallback."""
     from ..models.mlp import bind
-    from .spatial import integrate_euler, tip_residual
+    from .spatial import integrate_euler, integrate_rk4, tip_residual
 
     def fn(G, yh, zh, tf, nn_params=None):
         nn_fn = bind(spec, nn_params) if (spec is not None
                                           and nn_params is not None) else None
 
         def one(g, yhh, zhh, tff):
-            y, z = integrate_euler(p, g, yhh, zhh, tff, nn_fn)
+            if method == "euler":
+                y, z = integrate_euler(p, g, yhh, zhh, tff, nn_fn)
+            else:
+                yh_int = 0.5 * (yhh[:-1] + yhh[1:])
+                zh_int = 0.5 * (zhh[:-1] + zhh[1:])
+                y, z = integrate_rk4(p, g, yhh, zhh, yh_int, zh_int, tff,
+                                     nn_fn)
             r = tip_residual(p, y)
             return (r, y, z) if want_rod else r
 
@@ -180,6 +188,7 @@ def make_fast_rollout(
     impl: str = "pallas",
     jacobian_refresh: int = 1,
     fd_order: int = 2,
+    method: str = "euler",
 ):
     """Build fn(controls (R, T, 4), nn_params|None) -> traj (R, T, N, 50).
 
@@ -193,7 +202,8 @@ def make_fast_rollout(
     so converged roots are unchanged, only the path differs."""
     N = p.N
     dtype = p.dtype
-    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl)
+    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
+                                   method)
     inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
                         jacobian_refresh, fd_order)
 

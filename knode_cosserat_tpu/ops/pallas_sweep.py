@@ -57,11 +57,17 @@ def _cross(a, b):
 
 def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
                       block_b: int = 256, interpret: bool = False,
-                      want_rod: bool = True):
+                      want_rod: bool = True, method: str = "euler"):
     """Build the fused spatial-sweep kernel for a concrete rod (+ optional
     KNODE net). Returns fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3),
     nn_params|None) -> (residual (B,6)[, y (B,N,19), z (B,N-1,6)]).
+
+    method: "euler" (reference parity, cosserat_ode.py:197-201) or "rk4"
+    (cosserat_ode.py:222-242 with linear history midpoints, knode.py:80-81
+    — the midpoints are computed in-kernel from the node histories).
     """
+    if method not in ("euler", "rk4"):
+        raise ValueError(method)
     N = p.N
     f = lambda v: float(np.asarray(v))
     Kse_inv = _c3(p.Kse_c0Bse_inv)
@@ -201,8 +207,23 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         for j in range(N - 1):  # static unroll: N is small and fixed
             yh_j = yh_ref[19 * j:19 * (j + 1), :]
             zh_j = zh_ref[6 * j:6 * (j + 1), :]
-            dy, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
-            y = [y[i] + ds * dy[i] for i in range(19)]
+            if method == "euler":
+                dy, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
+                y = [y[i] + ds * dy[i] for i in range(19)]
+            else:  # rk4 with linearly-interpolated history midpoints
+                yh_j1 = yh_ref[19 * (j + 1):19 * (j + 2), :]
+                zh_j1 = zh_ref[6 * (j + 1):6 * (j + 2), :]
+                yh_m = 0.5 * (yh_j + yh_j1)
+                zh_m = 0.5 * (zh_j + zh_j1)
+                k1, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
+                y2 = [y[i] + (ds / 2) * k1[i] for i in range(19)]
+                k2, _ = rhs_rows(y2, yh_m, zh_m, tf, w_refs)
+                y3 = [y[i] + (ds / 2) * k2[i] for i in range(19)]
+                k3, _ = rhs_rows(y3, yh_m, zh_m, tf, w_refs)
+                y4 = [y[i] + ds * k3[i] for i in range(19)]
+                k4, _ = rhs_rows(y4, yh_j1, zh_j1, tf, w_refs)
+                y = [y[i] + (ds / 6.0) * (k1[i] + 2 * (k2[i] + k3[i])
+                                          + k4[i]) for i in range(19)]
             if want_rod:
                 y_ref[19 * (j + 1):19 * (j + 2), :] = jnp.concatenate(y, axis=0)
                 z_ref[6 * j:6 * (j + 1), :] = jnp.concatenate(z, axis=0)

@@ -85,3 +85,38 @@ def test_fast_rollout_driver_hybrid():
                                    nn_fn=bind(spec, params)).traj)
     np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
                                atol=1e-10)
+
+
+def test_sweep_kernel_rk4_matches_integrate_rk4():
+    from knode_cosserat_tpu.core.spatial import integrate_rk4
+    p = apply_mod(None)
+    k = make_sweep_kernel(p, None, block_b=128, interpret=True,
+                          method="rk4")
+    rng = np.random.RandomState(2)
+    B = 3
+    G = jnp.asarray(rng.randn(B, 6) * 0.01)
+    yh = jnp.asarray(rng.randn(B, p.N, 19))
+    zh = jnp.asarray(rng.randn(B, p.N, 6))
+    tf = jnp.asarray(rng.randn(B, 3))
+    res, y, z = k(G, yh, zh, tf)
+    for b in range(B):
+        yh_int = 0.5 * (yh[b][:-1] + yh[b][1:])
+        zh_int = 0.5 * (zh[b][:-1] + zh[b][1:])
+        y_ref, z_ref = integrate_rk4(p, G[b], yh[b], zh[b], yh_int, zh_int,
+                                     tf[b])
+        np.testing.assert_allclose(np.asarray(y[b]), np.asarray(y_ref),
+                                   rtol=1e-9, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(z[b]), np.asarray(z_ref),
+                                   rtol=1e-9, atol=1e-10)
+
+
+def test_fast_rollout_rk4_driver_matches_simulate_scan():
+    p = apply_mod(None)
+    roll = jax.jit(make_fast_rollout(p, tol=1e-16, impl="xla",
+                                     method="rk4"))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 6)])
+    traj, res, iters = roll(jnp.asarray(ctls))
+    ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[0]),
+                                   method="rk4").traj)
+    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
+                               atol=5e-10)
