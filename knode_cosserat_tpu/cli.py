@@ -21,6 +21,15 @@ import sys
 import numpy as np
 
 
+def _parse_mesh(spec):
+    """'data,seq,model' -> jax.sharding.Mesh (None passes through)."""
+    if not spec:
+        return None
+    from .parallel import make_mesh
+    d, s, m = (int(x) for x in spec.split(","))
+    return make_mesh(data=d, seq=s, model=m)
+
+
 def _add_train_args(sp):
     sp.add_argument("control_type_arg", nargs="+",
                     help='trajectories, e.g. "sine sine 0.5 1.0"')
@@ -40,6 +49,8 @@ def _add_train_args(sp):
     sp.add_argument("--dtype", type=str, default="float32")
     sp.add_argument("--resume", type=str, default=None,
                     help="checkpoint to resume from")
+    sp.add_argument("--mesh", type=str, default=None,
+                    help='multi-chip mesh "data,seq,model", e.g. "4,2,1"')
 
 
 def cmd_train(args):
@@ -75,9 +86,11 @@ def cmd_train(args):
     vc = vr = None
     if args.eval:
         vc, vr = make_validation_reference(ref, (vkind, float(varg)))
+    mesh = _parse_mesh(args.mesh)
     path = os.path.join(args.save_dir, cfg.short_name())
     res = train_knode(p_mod, trajs, ctls, cfg.train, vc, vr, eval_rod=p_mod,
-                      resume_from=args.resume, checkpoint_path=path)
+                      resume_from=args.resume, checkpoint_path=path,
+                      mesh=mesh)
 
     save_checkpoint(path, {
         "params": res.best_params if args.eval else res.params,
@@ -153,6 +166,7 @@ def cmd_multitrain(args):
                       dtype=args.dtype)
     ref = apply_mod(None, original=args.original)
     res = grid_train(cells, cfg, reference_rod=ref, original=args.original,
+                     mesh=_parse_mesh(args.mesh),
                      log=print if args.verbose else None)
     os.makedirs(args.save_dir, exist_ok=True)
     for cell, params in zip(res.cells, res.params):
@@ -331,6 +345,9 @@ def main(argv=None):
     sp.add_argument("--save_dir", type=str, default="saved_models")
     sp.add_argument("--evals_dir", type=str, default="evals")
     sp.add_argument("--dtype", type=str, default="float32")
+    sp.add_argument("--mesh", type=str, default=None,
+                    help='multi-chip mesh "data,seq,model" — shards the '
+                         "grid axis over devices")
     sp.set_defaults(fn=cmd_multitrain)
 
     sp = sub.add_parser("graphs", help="aggregate eval records")

@@ -10,6 +10,7 @@ and per-seed MLP params all stack, and the grid axis shards over the mesh's
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import List, Optional, Sequence
 
 import jax
@@ -145,14 +146,32 @@ def grid_train(
         opt_state = place(opt_state)
         trajs = place(trajs)
         ctls = place(ctls)
-    step = jax.jit(vstep, donate_argnums=(1, 2))
+    # Epochs run on device in lax.scan chunks (one XLA program per chunk,
+    # no per-epoch host dispatch — same recipe as training.make_epoch_scan).
+    def make_run(n_epochs: int):
+        @partial(jax.jit, donate_argnums=(1, 2))
+        def run(rods, params, opt_state, trajs, ctls):
+            def body(carry, _):
+                p_nn, opt_s = carry
+                p_nn, opt_s, loss = vstep(rods, p_nn, opt_s, trajs, ctls)
+                return (p_nn, opt_s), loss
+            (p_nn, opt_s), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n_epochs)
+            return p_nn, opt_s, losses
+        return run
 
-    losses = []
-    for epoch in range(cfg.epochs):
-        params, opt_state, loss = step(rods, params, opt_state, trajs, ctls)
-        losses.append(np.asarray(loss))
-        if log and epoch % cfg.log_every == 0:
-            log(f"epoch {epoch} losses {losses[-1]}")
+    chunk = max(1, min(cfg.log_every, cfg.epochs))
+    run_chunk = make_run(chunk)
+    losses: list = []
+    done = 0
+    while done < cfg.epochs:
+        n = min(chunk, cfg.epochs - done)
+        runner = run_chunk if n == chunk else make_run(n)
+        params, opt_state, ls = runner(rods, params, opt_state, trajs, ctls)
+        losses.extend(np.asarray(ls))     # (n, G) rows
+        done += n
+        if log:
+            log(f"epoch {done - 1} losses {losses[-1]}")
 
     # unstack per-cell params
     flat = jax.device_get(params)

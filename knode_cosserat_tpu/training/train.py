@@ -183,6 +183,7 @@ def train_knode(
     log: Optional[Callable[[str], None]] = print,
     resume_from: Optional[str] = None,
     checkpoint_path: Optional[str] = None,
+    mesh=None,
 ) -> TrainResult:
     """Train the KNODE residual for a (possibly perturbed) rod ``p_mod`` on
     teacher-forcing data from the reference rod.
@@ -192,27 +193,50 @@ def train_knode(
     eval_rod: rod used for validation rollouts (defaults to p_mod).
     resume_from: checkpoint path to resume params/opt state/loss history
     from (the reference's RESUME_TRAINING flag, physics_train.py:186-204).
+    mesh: optional jax.sharding.Mesh ("data","seq","model" axes). When
+    given, the FULL trainer (epoch scan, eval, best-DTW, checkpointing,
+    resume) runs sharded: MLP params TP over "model", trajectories DP over
+    "data" (when the batch divides), time SP over "seq". Results match the
+    single-device path up to float reduction order.
     """
     spec = cfg.spec()
     dtype = jnp.dtype(cfg.dtype)
     params = init_mlp(spec, jax.random.PRNGKey(cfg.seed), dtype)
     optimizer = make_optimizer(cfg)
-    opt_state = optimizer.init(params)
     resumed_loss: list = []
+    ckpt = None
     if resume_from:
         from .checkpoint import load_checkpoint
         ckpt, _ = load_checkpoint(resume_from)
         params = jax.tree.unflatten(jax.tree.structure(params),
                                     jax.tree.leaves(ckpt["params"]))
         params = jax.tree.map(lambda x: jnp.asarray(x, dtype), params)
-        if ckpt.get("opt_state") is not None:
-            opt_state = jax.tree.unflatten(jax.tree.structure(opt_state),
-                                           jax.tree.leaves(ckpt["opt_state"]))
         if ckpt.get("loss") is not None:
             resumed_loss = [float(x) for x in np.asarray(ckpt["loss"])]
 
+    if mesh is not None:
+        from ..parallel.mesh import shard_params_tp
+        params = jax.device_put(params, shard_params_tp(mesh, params))
+    opt_state = optimizer.init(params)  # inherits params' sharding
+    if ckpt is not None and ckpt.get("opt_state") is not None:
+        loaded = jax.tree.unflatten(jax.tree.structure(opt_state),
+                                    jax.tree.leaves(ckpt["opt_state"]))
+        # restore values into the (possibly sharded) template
+        opt_state = jax.tree.map(
+            lambda tgt, src: jax.device_put(jnp.asarray(src, tgt.dtype),
+                                            tgt.sharding),
+            opt_state, loaded)
+
     trajs = jnp.asarray(trajs, dtype)
     controls_a = jnp.asarray(controls, dtype)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        # DP over trajectories only when the batch divides the axis;
+        # the time axis always shards over "seq"
+        dp = "data" if trajs.shape[0] % mesh.shape["data"] == 0 else None
+        trajs = jax.device_put(trajs, NamedSharding(mesh, P(dp, "seq")))
+        controls_a = jax.device_put(controls_a,
+                                    NamedSharding(mesh, P(dp, "seq")))
 
     eval_rod = eval_rod if eval_rod is not None else p_mod
     do_eval = (validation_controls is not None
@@ -236,7 +260,8 @@ def train_knode(
         if do_eval and epoch % cfg.eval_every == 0:
             # reference quirk: the epoch-0 eval scores the NO-NN baseline
             # (physics_train.py:275,380 pass None at epoch 0)
-            nn_p = None if epoch == 0 else params
+            nn_p = None if epoch == 0 else (
+                jax.device_get(params) if mesh is not None else params)
             if nn_p is None:
                 traj = simulate_scan(eval_rod,
                                      jnp.asarray(validation_controls,
@@ -279,6 +304,10 @@ def train_knode(
     eps = cfg.epochs / elapsed if elapsed > 0 else 0.0
     if not do_eval:
         best_dtw, best_params = np.nan, params
+    if mesh is not None:
+        # hand unsharded pytrees back to the caller
+        params = jax.device_get(params)
+        best_params = jax.device_get(best_params)
     return TrainResult(params=params, best_params=best_params,
                        best_dtw=float(best_dtw),
                        loss_history=np.asarray(loss_hist),

@@ -93,6 +93,92 @@ def test_grid_train_matches_individual_training():
                                        rtol=2e-3, atol=1e-5)
 
 
+def test_train_knode_mesh_full_parity(tmp_path):
+    """The FULL trainer (epoch scan + eval + best-DTW + checkpointing) on a
+    2x2x2 mesh == the single-device trainer — multi-chip training is the
+    whole product, not just a sharded loss step."""
+    from knode_cosserat_tpu.training import make_validation_reference
+    from knode_cosserat_tpu.training.checkpoint import load_checkpoint
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=8)
+    trajs = np.asarray(trajs, np.float32)
+    ctls = np.asarray(ctls, np.float32)
+    vc, vr = make_validation_reference(ref, ("sine", 1.25), eval_len=6)
+    cfg = TrainConfig(epochs=4, hidden=32, dtype="float32", seed=0,
+                      eval_every=2, eval_len=6, log_every=1000,
+                      checkpoint_every=2)
+
+    mesh = make_mesh(data=2, seq=2, model=2)
+    ck = str(tmp_path / "mesh_ckpt")
+    res_mesh = train_knode(p_mod, trajs, ctls, cfg, vc, vr, eval_rod=p_mod,
+                           checkpoint_path=ck, log=None, mesh=mesh)
+    res_host = train_knode(p_mod, trajs, ctls, cfg, vc, vr, eval_rod=p_mod,
+                           log=None)
+
+    np.testing.assert_allclose(res_mesh.loss_history, res_host.loss_history,
+                               rtol=1e-4)
+    assert res_mesh.dtw_history and len(res_mesh.dtw_history) == len(
+        res_host.dtw_history)
+    np.testing.assert_allclose(
+        [d for _, d in res_mesh.dtw_history],
+        [d for _, d in res_host.dtw_history], rtol=1e-3)
+    assert np.isfinite(res_mesh.best_dtw)
+    for a, b in zip(jax.tree.leaves(res_mesh.params),
+                    jax.tree.leaves(res_host.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
+                                   atol=1e-5)
+    # checkpoint was written and is loadable (sharded arrays gathered)
+    ckpt, _ = load_checkpoint(ck)
+    assert ckpt["params"] is not None
+
+
+def test_train_knode_mesh_resume(tmp_path):
+    """Resume a sharded run from a checkpoint written by a host run."""
+    ref = apply_mod(None)
+    p_mod = apply_mod("youngs")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=6)
+    cfg = TrainConfig(epochs=2, hidden=16, dtype="float32", seed=3,
+                      log_every=1000)
+    from knode_cosserat_tpu.training.checkpoint import save_checkpoint
+
+    host = train_knode(p_mod, trajs, ctls, cfg, log=None)
+    ck = str(tmp_path / "host_ckpt")
+    save_checkpoint(ck, {"params": host.params,
+                         "loss": host.loss_history})
+
+    mesh = make_mesh(data=2, model=2, seq=2)
+    res = train_knode(p_mod, trajs, ctls,
+                      TrainConfig(epochs=1, hidden=16, dtype="float32",
+                                  seed=3, log_every=1000),
+                      resume_from=ck, log=None, mesh=mesh)
+    # resumed history is prefixed and training continued finitely
+    np.testing.assert_allclose(res.loss_history[: len(host.loss_history)],
+                               host.loss_history, rtol=1e-5)
+    assert np.all(np.isfinite(res.loss_history))
+
+
+def test_grid_train_sharded_matches_unsharded():
+    """grid_train with the grid axis sharded over an 8-device mesh == the
+    same grid on one device (physics_multitrain.py:85-157 at mesh scale)."""
+    ref = apply_mod(None)
+    cells = build_grid(["sine 0.5"], ["nsw", "youngs", "short", "damping"],
+                       2)  # 8 cells -> one per device
+    cfg = TrainConfig(epochs=3, hidden=16, dtype="float32",
+                      eval_every=10**9, log_every=2)
+    res_solo = grid_train(cells, cfg, reference_rod=ref, train_len=6)
+    mesh = make_mesh(data=8)
+    res_mesh = grid_train(cells, cfg, reference_rod=ref, train_len=6,
+                          mesh=mesh)
+    np.testing.assert_allclose(res_mesh.loss_history, res_solo.loss_history,
+                               rtol=1e-4)
+    for pm, ps in zip(res_mesh.params, res_solo.params):
+        for a, b in zip(jax.tree.leaves(pm), jax.tree.leaves(ps)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=1e-5)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(data=4, model=2)
     assert mesh.shape == {"data": 4, "seq": 1, "model": 2}
