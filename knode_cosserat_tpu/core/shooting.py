@@ -29,6 +29,7 @@ class NewtonStats(NamedTuple):
     iterations: jnp.ndarray
     residual_norm: jnp.ndarray
     converged: jnp.ndarray
+    lm_retries: jnp.ndarray = 0  # plain int default: no backend init at import
 
 
 def newton_solve(
@@ -38,9 +39,13 @@ def newton_solve(
     max_iter: int = 50,
     max_backtracks: int = 6,
     damping: float = 0.0,
+    lm_lambda0: float = 1e-4,
+    lm_growth: float = 10.0,
+    lm_decay: float = 0.0,
+    max_escalations: int = 8,
 ):
     """Solve residual_fn(G) = 0 by damped Newton with a vectorized
-    backtracking line search.
+    backtracking line search and Levenberg-Marquardt stall escalation.
 
     TPU-first detail: all step-size candidates (alpha = 1, 1/2, ... ,
     1/2^max_backtracks) are evaluated in ONE vmapped residual sweep — the
@@ -48,37 +53,51 @@ def newton_solve(
     batch, so the line search costs about one residual evaluation instead of
     max_backtracks sequential ones.
 
+    Stall recovery (the jittable replacement for the reference's
+    scipy L-BFGS-B fallback, knode.py:91-94): when no candidate step
+    improves the residual, the iterate is NOT advanced; instead the next
+    iteration solves with (J + lambda*D), D = diag(max(|J_ii|, 1)) —
+    classic LM with Marquardt scaling — and lambda escalates by
+    ``lm_growth`` per consecutive failure. A successful step resets
+    lambda to ``lm_decay * lambda`` (default 0 = straight back to pure
+    Newton). Only after ``max_escalations`` consecutive failures is the
+    solve declared stalled.
+
     Args:
       residual_fn: (6,) -> (6,), e.g. a closure over spatial.residual_euler.
       G0: warm-start guess (the previous timestep's solution, knode.py:88).
       tol: stop when sum(r^2) < tol (fsolve's default xtol is 1.49e-8 on the
         step; we converge the residual itself much tighter so trajectories
         agree with the reference to solver precision).
-      damping: optional Tikhonov term lambda*I added to J for near-singular
-        Jacobians (Levenberg-Marquardt flavor); 0 = pure Newton.
+      damping: optional constant Tikhonov term lambda*I always added to J;
+        0 = pure Newton (the LM escalation above is adaptive and separate).
 
     Returns:
-      (G, NewtonStats).
+      (G, NewtonStats) — stats.lm_retries counts escalation iterations.
     """
     dtype = G0.dtype
     eye = jnp.eye(G0.shape[-1], dtype=dtype)
     alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
+    lam0 = jnp.asarray(lm_lambda0, dtype)
 
     def sq(r):
         return jnp.sum(r * r)
 
     def cond(state):
-        G, r, r2, it, stalled = state
-        return (r2 > tol) & (it < max_iter) & (~stalled)
+        G, r, r2, it, lam, fails, retries = state
+        return (r2 > tol) & (it < max_iter) & (fails <= max_escalations)
 
     def body(state):
         # the residual vector r at G is carried from the previous line
         # search — each iteration costs exactly two sequential sweeps
         # (Jacobian + candidate batch), nothing else
-        G, r, r2, it, _ = state
+        G, r, r2, it, lam, fails, retries = state
         J = jax.jacfwd(residual_fn)(G)
         if damping:
             J = J + damping * eye
+        # adaptive LM term (zero until a stall escalates it)
+        D = jnp.maximum(jnp.abs(jnp.diagonal(J)), 1.0)
+        J = J + lam * D * eye
         # 6x6 solve (explicit pivoted elimination — TPU has no f64 LU);
         # fall back to a damped least-squares step if singular.
         dG = solve_small(J, -r)
@@ -86,8 +105,7 @@ def newton_solve(
                        solve_spd_small(J, -r, damping=1e-8))
 
         # One batched sweep over every candidate step size; pick the largest
-        # alpha that reduces the squared residual (fsolve-like willingness:
-        # take the full step if nothing improves, but flag a stall).
+        # alpha that reduces the squared residual.
         G_cand = G[None, :] + alphas[:, None] * dG[None, :]
         r_cand = jax.vmap(residual_fn)(G_cand)
         r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
@@ -95,14 +113,23 @@ def newton_solve(
         idx = jnp.argmax(improves)          # first (largest-alpha) improver
         found = jnp.any(improves)
         pick = jnp.where(found, idx, 0)
-        G_new = G_cand[pick]
-        stalled = ~found
-        return (G_new, r_cand[pick], r2_cand[pick], it + 1, stalled)
+        # on failure: hold position, escalate lambda, try again
+        G_new = jnp.where(found, G_cand[pick], G)
+        r_new = jnp.where(found, r_cand[pick], r)
+        r2_new = jnp.where(found, r2_cand[pick], r2)
+        lam_new = jnp.where(found, lm_decay * lam,
+                            jnp.maximum(lam * lm_growth, lam0))
+        fails = jnp.where(found, 0, fails + 1)
+        retries = retries + jnp.where(found, 0, 1).astype(jnp.int32)
+        return (G_new, r_new, r2_new, it + 1, lam_new.astype(dtype),
+                fails, retries)
 
     r0 = residual_fn(G0)
-    state0 = (G0, r0, sq(r0), jnp.array(0, jnp.int32), jnp.array(False))
-    G, r, r2, it, stalled = lax.while_loop(cond, body, state0)
-    return G, NewtonStats(it, jnp.sqrt(r2), r2 <= tol)
+    state0 = (G0, r0, sq(r0), jnp.array(0, jnp.int32),
+              jnp.zeros((), dtype), jnp.array(0, jnp.int32),
+              jnp.array(0, jnp.int32))
+    G, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
+    return G, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
 
 
 def implicit_root(

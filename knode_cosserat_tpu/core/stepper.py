@@ -46,11 +46,14 @@ class SimOutput(NamedTuple):
       the reference's trajectory contract (knode.py:96) in state-last layout.
     G: (T, 6) solved base reactions (traj[t] corresponds to G[t] for t>=1).
     newton_iters / residuals: per-step solver stats (T,).
+    lm_retries: per-step count of Levenberg-Marquardt stall-escalation
+      iterations (0 everywhere on a healthy rollout).
     """
     traj: jnp.ndarray
     G: jnp.ndarray
     newton_iters: jnp.ndarray
     residuals: jnp.ndarray
+    lm_retries: jnp.ndarray = None
 
 
 def initial_state(p: RodParams):
@@ -140,20 +143,23 @@ def simulate_scan(
         z_new = jnp.concatenate([z_body, z_tip[None]], axis=0)
         record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)  # (N, 50)
         new_carry = (y_new, z_new, y, z, G_new)
-        return new_carry, (record, G_new, stats.iterations, stats.residual_norm)
+        return new_carry, (record, G_new, stats.iterations,
+                           stats.residual_norm, stats.lm_retries)
 
     T = controls.shape[0]
     carry0 = (y0, z0, y0, z0, G0)
     body = jax.checkpoint(step) if remat else step
     # Integrate T-1 steps; the reference's T-th step is computed then dropped.
-    _, (records, Gs, iters, res) = lax.scan(body, carry0, controls[: T - 1])
+    _, (records, Gs, iters, res, lm) = lax.scan(body, carry0,
+                                                controls[: T - 1])
 
     rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
     traj = jnp.concatenate([rec0, records], axis=0)
     Gs = jnp.concatenate([G0[None], Gs], axis=0)
     iters = jnp.concatenate([jnp.zeros(1, iters.dtype), iters])
     res = jnp.concatenate([jnp.zeros(1, res.dtype), res])
-    return SimOutput(traj, Gs, iters, res)
+    lm = jnp.concatenate([jnp.zeros(1, lm.dtype), lm])
+    return SimOutput(traj, Gs, iters, res, lm)
 
 
 def simulate(

@@ -28,6 +28,7 @@ class RolloutReport:
     nan_steps: List[int]          # non-finite state
     max_residual: float
     max_newton_iters: int
+    lm_retry_steps: List[int] = dataclasses.field(default_factory=list)
 
     def __str__(self):
         s = "OK" if self.ok else "UNHEALTHY"
@@ -35,7 +36,8 @@ class RolloutReport:
                 f"max residual {self.max_residual:.2e}, "
                 f"max newton iters {self.max_newton_iters}, "
                 f"{len(self.bad_steps)} non-converged, "
-                f"{len(self.nan_steps)} non-finite")
+                f"{len(self.nan_steps)} non-finite, "
+                f"{len(self.lm_retry_steps)} LM-rescued")
 
 
 def check_rollout(sim_output, residual_tol: float = 1e-4) -> RolloutReport:
@@ -46,6 +48,9 @@ def check_rollout(sim_output, residual_tol: float = 1e-4) -> RolloutReport:
     finite = np.isfinite(traj).all(axis=(1, 2))
     bad = np.where(res > residual_tol)[0]
     nans = np.where(~finite)[0]
+    lm = (np.asarray(sim_output.lm_retries)
+          if getattr(sim_output, "lm_retries", None) is not None
+          else np.zeros(0, np.int32))
     return RolloutReport(
         ok=(len(bad) == 0 and len(nans) == 0),
         n_steps=traj.shape[0],
@@ -53,6 +58,7 @@ def check_rollout(sim_output, residual_tol: float = 1e-4) -> RolloutReport:
         nan_steps=nans.tolist(),
         max_residual=float(res.max()) if len(res) else 0.0,
         max_newton_iters=int(iters.max()) if len(iters) else 0,
+        lm_retry_steps=np.where(lm > 0)[0].tolist(),
     )
 
 
