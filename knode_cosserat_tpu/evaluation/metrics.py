@@ -5,7 +5,13 @@ The reference computes fastdtw(pred_tip_xyz, ref_tip_xyz) on traj[:, :3, 9]
 squared position error + squared zyx-Euler error x1000
 (physics_multitrain.py:215-222). fastdtw isn't in this environment, so we
 implement both the published FastDTW approximation (radius=1, identical
-algorithm, so numbers match the reference procedure) and exact DTW.
+algorithm) and exact DTW.
+
+Point-distance parity: the reference calls fastdtw(x, y) with dist=None on
+2-D (T, 3) tip arrays, and the fastdtw package's dist=None default on
+multi-dimensional points is the MANHATTAN (1-norm) distance — not
+euclidean. We default to ord=1 to match the reference's numbers; pass
+``dist_ord=2`` for euclidean.
 Host-side numpy: metrics are tiny (T ~ 100) and off the hot path.
 """
 from __future__ import annotations
@@ -21,11 +27,11 @@ def _as2d(x):
     return x[:, None] if x.ndim == 1 else x
 
 
-def _dtw_windowed(x, y, window):
+def _dtw_windowed(x, y, window, dist_ord=1):
     """DP over an explicit cell window; returns (distance, path)."""
     D = {(0, 0): (0.0, (0, 0))}
     for i, j in window:
-        dist = float(np.linalg.norm(x[i - 1] - y[j - 1]))
+        dist = float(np.linalg.norm(x[i - 1] - y[j - 1], ord=dist_ord))
         best = None
         for prev in ((i - 1, j), (i, j - 1), (i - 1, j - 1)):
             if prev in D and (best is None or D[prev][0] < best[0]):
@@ -43,12 +49,13 @@ def _dtw_windowed(x, y, window):
     return D[(n, m)][0], path
 
 
-def dtw(x, y):
-    """Exact DTW with euclidean point distance. Returns (distance, path)."""
+def dtw(x, y, dist_ord=1):
+    """Exact DTW. Point distance defaults to the 1-norm (fastdtw-package
+    parity, see module docstring). Returns (distance, path)."""
     x, y = _as2d(x), _as2d(y)
     n, m = len(x), len(y)
     window = [(i, j) for i in range(1, n + 1) for j in range(1, m + 1)]
-    return _dtw_windowed(x, y, window)
+    return _dtw_windowed(x, y, window, dist_ord)
 
 
 def _reduce_by_half(x):
@@ -82,17 +89,18 @@ def _expand_window(path, len_x, len_y, radius):
     return window
 
 
-def fastdtw(x, y, radius: int = 1):
+def fastdtw(x, y, radius: int = 1, dist_ord=1):
     """The published FastDTW approximation (Salvador & Chan 2007) — the same
-    algorithm as the fastdtw package the reference calls, default radius=1.
+    algorithm AND the same default point distance (1-norm) as the fastdtw
+    package the reference calls, default radius=1.
     Returns (distance, path)."""
     x, y = _as2d(x), _as2d(y)
     min_ts = radius + 2
     if len(x) < min_ts or len(y) < min_ts:
-        return dtw(x, y)
-    shrunk = fastdtw(_reduce_by_half(x), _reduce_by_half(y), radius)
+        return dtw(x, y, dist_ord)
+    shrunk = fastdtw(_reduce_by_half(x), _reduce_by_half(y), radius, dist_ord)
     window = _expand_window(shrunk[1], len(x), len(y), radius)
-    return _dtw_windowed(x, y, window)
+    return _dtw_windowed(x, y, window, dist_ord)
 
 
 def tip_dtw(pred_traj, ref_traj, node: int = -1, exact: bool = False):

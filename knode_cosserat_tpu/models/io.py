@@ -59,9 +59,22 @@ def load_reference_pth(path: str,
                        dtype=jnp.float32):
     """Load a reference .pth checkpoint.
 
+    .. warning::
+       Reference checkpoints pickle the ENTIRE robot object
+       (physics_train.py:284-288), so this must unpickle with
+       ``weights_only=False`` — which executes arbitrary code embedded in
+       the pickle. Only load ``.pth`` files from sources you trust.
+       (Checkpoints produced by THIS framework are plain npz+JSON pytrees,
+       training/checkpoint.py, and have no such hazard.)
+
     Returns dict with keys: spec, params, and whichever of loss/dtw the
     checkpoint carried."""
+    import logging
     import torch
+    logging.getLogger(__name__).warning(
+        "load_reference_pth(%s): unpickling with weights_only=False "
+        "executes code embedded in the file; load only trusted .pth files",
+        path)
     if reference_path and reference_path not in sys.path:
         sys.path.insert(0, reference_path)
     ckpt = torch.load(path, map_location="cpu", weights_only=False)
