@@ -1,7 +1,16 @@
 """Headline benchmark: batched KNODE training throughput on TPU vs the
 reference PyTorch-CPU fast path (BASELINE.md target: >= 50x).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+The primary metric is the training throughput; "extra" carries the other
+regression-guarded numbers (also written to BENCH_DETAIL.json):
+  rollout_xla_steps_per_sec_n10     — vmapped lax.scan rollout, B=256
+  rollout_fused_steps_per_sec_n10   — fused Pallas sweep rollout (unrolled)
+  rollout_fused_steps_per_sec_n40   — fused Pallas sweep rollout (pipelined)
+  serving_latency_ms                — single-rod fused BDF-2 step
+  parity_tip_rmse_m                 — f32 rollout vs the f64 CPU golden
+  training_mfu_pct                  — epoch-program FLOPs / time / bf16 peak
+Set KNODE_BENCH_FAST=1 to emit only the headline (skips the extras).
 
 Workload parity: both sides run the physics_multitrain.py training config —
 2 trajectories ("sine sine 0.5 1.0"), train_len=30, keypoints [3,5,7,9],
@@ -95,8 +104,96 @@ def measure_torch_cpu_epoch():
     return 1.0 / dt  # epochs/sec
 
 
+# bf16 peak FLOP/s by device kind substring (MFU denominator). The point of
+# reporting MFU on this workload is honesty: the rod problem is tiny and
+# launch-bound, so the number is small — it tells you scaling headroom.
+PEAK_FLOPS = (
+    ("v6", 918e12), ("v5p", 459e12), ("v5", 197e12), ("v4", 275e12),
+)
+
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in PEAK_FLOPS:
+        if key in kind:
+            return val
+    return 197e12
+
+
+def _timeit(fn, *args, iters=5):
+    import jax
+    import time as _t
+    t0 = _t.perf_counter()
+    out = fn(*args)
+    jax.block_until_ready(out)
+    compile_s = _t.perf_counter() - t0
+    t0 = _t.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (_t.perf_counter() - t0) / iters, compile_s
+
+
+def measure_extras(ref, golden_trajs, golden_ctls):
+    """Secondary regression metrics (rollout, serving, parity, MFU inputs).
+    Each is cheap to measure but guards a distinct code path."""
+    import jax
+    import jax.numpy as jnp
+    from knode_cosserat_tpu import calc_controls, experimental_rod
+    from knode_cosserat_tpu.core.fast_rollout import (make_fast_rollout,
+                                                      make_fast_step)
+    from knode_cosserat_tpu.core.stepper import initial_state, simulate_scan
+
+    on_cpu = jax.default_backend() == "cpu"
+    impl = "xla" if on_cpu else "pallas"
+    extras = {}
+    B, T = 256, 50
+
+    # --- XLA scan rollout, N=10 ---
+    p10 = experimental_rod(N=10, dtype=jnp.float32)
+    ctls = jnp.asarray(np.stack([
+        calc_controls("sine", 0.5 + 0.01 * i, float(p10.del_t), T)
+        for i in range(B)]), jnp.float32)
+    xla = jax.jit(jax.vmap(lambda c: simulate_scan(p10, c, tol=1e-10).traj))
+    dt, _ = _timeit(xla, ctls)
+    extras["rollout_xla_steps_per_sec_n10"] = round(B * (T - 1) / dt)
+
+    # --- fused rollouts (unrolled N=10, grid-pipelined N=40) ---
+    for N in (10, 40):
+        pN = experimental_rod(N=N, dtype=jnp.float32)
+        fast = jax.jit(make_fast_rollout(pN, tol=1e-10,
+                                         block_b=512, impl=impl))
+        dt, compile_s = _timeit(fast, ctls)
+        extras[f"rollout_fused_steps_per_sec_n{N}"] = round(B * (T - 1) / dt)
+        extras[f"rollout_fused_compile_s_n{N}"] = round(compile_s, 1)
+
+    # --- serving latency: one rod, one BDF-2 step ---
+    step = jax.jit(make_fast_step(p10, tol=1e-12, impl=impl))
+    y0, z0 = initial_state(p10)
+    y0 = y0[None]
+    z0 = z0[None]
+    G0 = jnp.zeros((1, 6), jnp.float32)
+    t4 = jnp.asarray([[6.0, 5.0, 4.0, 5.0]], jnp.float32)
+    dt, _ = _timeit(lambda: step(y0, z0, y0, z0, G0, t4), iters=20)
+    extras["serving_latency_ms"] = round(dt * 1e3, 3)
+
+    # --- parity: f32 device rollout vs the f64 CPU-exact golden ---
+    # golden_trajs: (B, T, N, 25) state-last
+    if golden_trajs is not None:
+        ctl0 = jnp.asarray(golden_ctls[0], jnp.float32)
+        traj = np.asarray(jax.jit(
+            lambda c: simulate_scan(ref, c, tol=1e-16).traj)(ctl0))
+        tip = traj[:, -1, :3]
+        gold_tip = np.asarray(golden_trajs[0])[:, -1, :3]
+        extras["parity_tip_rmse_m"] = float(
+            np.sqrt(np.mean((tip - gold_tip[: len(tip)]) ** 2)))
+    return extras
+
+
 def main():
     import jax
+    if os.environ.get("KNODE_PLATFORM"):
+        jax.config.update("jax_platforms", os.environ["KNODE_PLATFORM"])
     import jax.numpy as jnp
     from knode_cosserat_tpu import apply_mod
     from knode_cosserat_tpu.training import (TrainConfig, make_training_data)
@@ -138,8 +235,30 @@ def main():
     t0 = time.perf_counter()
     p1, o1, losses = run(params, opt_state, tj, cj)
     jax.block_until_ready(losses)
-    ours = EPOCHS_MEASURE / (time.perf_counter() - t0)
+    train_seconds = time.perf_counter() - t0
+    ours = EPOCHS_MEASURE / train_seconds
     assert np.isfinite(np.asarray(losses)).all()
+
+    # --- MFU of the training program: compiled-cost FLOPs / time / peak ---
+    extras = {}
+    try:
+        cost = run.lower(params, opt_state, tj, cj).compile().cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        flops = float(cost.get("flops", 0.0))
+        if flops > 0:
+            peak = _peak_flops(jax.devices()[0])
+            extras["training_mfu_pct"] = round(
+                100.0 * flops / train_seconds / peak, 5)
+            extras["training_program_gflops"] = round(flops / 1e9, 3)
+    except Exception as e:  # cost analysis is backend-dependent
+        print(f"# cost_analysis unavailable: {e}", file=sys.stderr)
+
+    if not os.environ.get("KNODE_BENCH_FAST"):
+        try:
+            extras.update(measure_extras(ref, trajs, ctls))
+        except Exception as e:
+            print(f"# extras failed: {e}", file=sys.stderr)
 
     # torch CPU baseline. The denominator is the FASTEST torch measurement
     # ever recorded (CPU contention can only slow torch down, so taking the
@@ -163,12 +282,17 @@ def main():
                                   "hidden": HIDDEN}}, f)
 
     vs = (ours / torch_eps) if torch_eps else None
-    print(json.dumps({
+    line = {
         "metric": "knode_batched_training_throughput",
         "value": round(ours, 3),
         "unit": "epochs/sec",
         "vs_baseline": round(vs, 2) if vs else None,
-    }))
+        "extra": extras,
+    }
+    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
+        json.dump({**line, "device": str(jax.devices()[0].device_kind),
+                   "backend": jax.default_backend()}, f, indent=1)
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -185,6 +185,7 @@ def cmd_graphs(args):
     from .evaluation.tables import EvalRecord, aggregate_seeds, format_table
 
     records = []
+    evals, labels = set(), set()
     for fname in sorted(os.listdir(args.evals_dir)):
         if not fname.endswith(".npz"):
             continue
@@ -193,11 +194,32 @@ def cmd_graphs(args):
         evall, label = stem.split("+", 1)
         evall = evall.replace("physics_original_", "").replace(
             "physics_", "").replace("_", " ")
+        label = label.replace("_", " ")
+        evals.add(evall)
+        labels.add(label)
         records.append(EvalRecord(
-            label=label.replace("_", " "), eval_name=evall,
+            label=label, eval_name=evall,
             dtw=tip_dtw(d["predicted"], d["reference"]),
             mse=pose_mse(d["predicted"], d["reference"])))
     print(format_table(aggregate_seeds(records)))
+
+    if args.tipx:
+        # tip-X generalization figures (physics_multigraphs.py:186-231);
+        # mods/datas inferred from the trained-cell record labels
+        from .viz.visualizer import tip_generalization_plot
+        mods, datas = set(), set()
+        for label in labels:
+            if label.startswith("baseline"):
+                mods.add(label.split(" ", 1)[1])
+            else:
+                parts = label.split(" ")
+                datas.add(" ".join(parts[:-2]))
+        for evall in sorted(evals):
+            out = os.path.join(args.figs_dir,
+                               f"tipx_{evall.replace(' ', '_')}.png")
+            tip_generalization_plot(args.evals_dir, evall, sorted(mods),
+                                    sorted(datas), save=out)
+            print(f"saved {out}")
 
 
 def cmd_prepare(args):
@@ -352,6 +374,9 @@ def main(argv=None):
 
     sp = sub.add_parser("graphs", help="aggregate eval records")
     sp.add_argument("--evals_dir", type=str, default="evals")
+    sp.add_argument("--tipx", action="store_true",
+                    help="write tip-X generalization figures")
+    sp.add_argument("--figs_dir", type=str, default="figures")
     sp.set_defaults(fn=cmd_graphs)
 
     sp = sub.add_parser("prepare", help="ingest physical experiment data")

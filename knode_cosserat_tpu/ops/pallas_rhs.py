@@ -3,7 +3,8 @@
 The training hot op evaluates, for B = trajectories x timesteps x keypoints
 cells at once, the physics RHS (quat->R, constitutive solve, BDF-2 terms,
 body forces, rod derivatives) plus the KNODE MLP residual
-(cosserat_ode.py:114-186 + the 28->hidden->25 net). This kernel fuses the
+(cosserat_ode.py:114-186; both the 28-input and 53-input-history nets,
+any layer count). This kernel fuses the
 whole evaluation in VMEM: the physics runs structure-of-arrays on the VPU
 (each state component is a (TB, 1) lane vector), the MLP matmuls run on the
 MXU, and no intermediate ever round-trips HBM. Rod parameters are baked in
@@ -69,12 +70,6 @@ def make_fused_next_segment(p: RodParams, spec: MLPSpec,
     -> (y_grown (B,19), z (B,6)), equal to
     y + ds * rhs(...) per next_segment_euler. B is padded to block_b.
     """
-    if spec.history:
-        raise NotImplementedError("fused kernel supports the 28-input net")
-    if len(spec.dims) != 3:
-        raise NotImplementedError("fused kernel supports the 2-layer MLP; "
-                                  f"got dims {spec.dims}")
-
     f = lambda v: float(np.asarray(v))
     Kse_inv = _c3(p.Kse_c0Bse_inv)
     Kbt_inv = _c3(p.Kbt_c0Bbt_inv)
@@ -87,10 +82,12 @@ def make_fused_next_segment(p: RodParams, spec: MLPSpec,
     c0 = f(p.c0)
     rhoA = f(p.rhoA)
     ds = f(p.ds)
-    hidden = spec.dims[1]
+    n_layers = len(spec.dims) - 1
 
-    def kernel(y_ref, yh_ref, zh_ref, tf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-               yg_ref, z_ref):
+    def kernel(*refs):
+        y_ref, yh_ref, zh_ref, tf_ref = refs[:4]
+        w_refs = refs[4:4 + 2 * n_layers]
+        yg_ref, z_ref = refs[4 + 2 * n_layers:]
         y = y_ref[:]            # (TB, 19)
         yh = yh_ref[:]
         zh = zh_ref[:]
@@ -166,24 +163,32 @@ def make_fused_next_segment(p: RodParams, spec: MLPSpec,
         ys = jnp.concatenate(ps + hs + ns + ms + qs + ws, axis=1)  # (TB,19)
         z = jnp.concatenate(v + u, axis=1)                          # (TB,6)
 
-        # KNODE MLP residual on the MXU: [y, z, tf] (TB, 28)
-        nn_in = jnp.concatenate([y, z, tf_in], axis=1)
-        a = jnp.dot(nn_in, w1_ref[:], preferred_element_type=jnp.float32)
-        a = a + b1_ref[:]
-        # explicit formulas — Mosaic lacks expm1 (and matches the reference
-        # numpy shim's elu/softplus exactly, cosserat_ode.py:92-94)
-        if spec.activation == "elu":
-            a = jnp.where(a > 0, a, jnp.exp(a) - 1.0)
-        elif spec.activation == "tanh":
-            a = jnp.tanh(a)
-        elif spec.activation == "relu":
-            a = jnp.maximum(a, 0.0)
-        elif spec.activation == "softplus":
-            a = jnp.log1p(jnp.exp(-jnp.abs(a))) + jnp.maximum(a, 0.0)
+        # KNODE MLP residual on the MXU: [y, z, tf] (TB, 28) or the
+        # 53-input history variant [y, yh, z, zh, tf]
+        # (cosserat_ode.py:171-175)
+        if spec.history:
+            nn_in = jnp.concatenate([y, yh, z, zh, tf_in], axis=1)
         else:
-            raise ValueError(spec.activation)
-        out = jnp.dot(a, w2_ref[:], preferred_element_type=jnp.float32)
-        out = out + b2_ref[:]
+            nn_in = jnp.concatenate([y, z, tf_in], axis=1)
+        out = nn_in
+        for l in range(n_layers):
+            wt_ref, b_ref = w_refs[2 * l], w_refs[2 * l + 1]
+            out = jnp.dot(out, wt_ref[:],
+                          preferred_element_type=out.dtype) + b_ref[:]
+            if l < n_layers - 1:
+                # explicit formulas — Mosaic lacks expm1 (and matches the
+                # reference numpy shim exactly, cosserat_ode.py:92-94)
+                if spec.activation == "elu":
+                    out = jnp.where(out > 0, out, jnp.exp(out) - 1.0)
+                elif spec.activation == "tanh":
+                    out = jnp.tanh(out)
+                elif spec.activation == "relu":
+                    out = jnp.maximum(out, 0.0)
+                elif spec.activation == "softplus":
+                    out = (jnp.log1p(jnp.exp(-jnp.abs(out)))
+                           + jnp.maximum(out, 0.0))
+                else:
+                    raise ValueError(spec.activation)
 
         ys = ys + out[:, :19]
         z = z + out[:, 19:]
@@ -199,32 +204,31 @@ def make_fused_next_segment(p: RodParams, spec: MLPSpec,
         # pad the quaternion norm guard: keep h valid on pad rows
         yp = yp.at[B:, 3].set(1.0)
 
-        w1t = nn_params[0]["w"].T            # (28, hidden)
-        b1 = nn_params[0]["b"][None, :]      # (1, hidden)
-        w2t = nn_params[1]["w"].T            # (hidden, 25)
-        b2 = nn_params[1]["b"][None, :]
-
         grid = (Bp // TB,)
         bspec = lambda d: pl.BlockSpec((TB, d), lambda i: (i, 0),
                                        memory_space=pltpu.VMEM)
         wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
                                            memory_space=pltpu.VMEM)
+        wargs, wspecs = [], []
+        for l in range(n_layers):
+            wt = nn_params[l]["w"].T             # (din, dout)
+            b = nn_params[l]["b"][None, :]       # (1, dout)
+            wargs += [wt, b]
+            wspecs += [wspec(wt.shape), wspec(b.shape)]
         yg, z = pl.pallas_call(
             kernel,
             grid=grid,
-            in_specs=[bspec(19), bspec(19), bspec(6), bspec(3),
-                      wspec((28, hidden)), wspec((1, hidden)),
-                      wspec((hidden, 25)), wspec((1, 25))],
+            in_specs=[bspec(19), bspec(19), bspec(6), bspec(3)] + wspecs,
             out_specs=[bspec(19), bspec(6)],
             out_shape=[jax.ShapeDtypeStruct((Bp, 19), y.dtype),
                        jax.ShapeDtypeStruct((Bp, 6), y.dtype)],
             interpret=interpret,
-        )(yp, yhp, zhp, tfp, w1t, b1, w2t, b2)
+        )(yp, yhp, zhp, tfp, *wargs)
         return yg[:B], z[:B]
 
     def jax_impl(nn_params, y, yh, zh, tf):
         nn_fn = lambda x: mlp_apply(spec, nn_params, x)
-        dy, z = jax_rhs(p, y, yh, zh, tf, nn_fn, nn_history=False)
+        dy, z = jax_rhs(p, y, yh, zh, tf, nn_fn, nn_history=spec.history)
         return y + p.ds * dy, z
 
     @jax.custom_vjp

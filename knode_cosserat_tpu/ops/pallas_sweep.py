@@ -13,6 +13,19 @@ Batch semantics: B = (rods x G-variants). The shooting driver
 Jacobian columns + line-search candidates) into the batch, so one kernel
 launch per Newton phase replaces thousands of tiny ops.
 
+Two lowering modes:
+  * static unroll — every node's RHS is inlined (best for small N Euler);
+    compile time grows with N x RK4 stages.
+  * grid pipeline — the node loop IS the pallas grid's inner dimension:
+    grid (batch_blocks, N-1), the integrated state carried across grid
+    steps in a VMEM scratch buffer, per-node history blocks streamed in by
+    the BlockSpec index maps. The kernel body is compiled ONCE regardless
+    of N, so N=80 RK4 compiles as fast as N=10 Euler.
+
+MLP support: any layer count (spec.dims) and both input variants — 28
+([y, z, tf]) and the 53-input history net ([y, yh, z, zh, tf],
+cosserat_ode.py:171-175).
+
 Outputs: tip residual (B, 6), plus (optionally) the full integrated rod
 y (B, N, 19) and strains z (B, N-1, 6) for the recording sweep.
 """
@@ -55,9 +68,25 @@ def _cross(a, b):
             a[0] * b[1] - a[1] * b[0]]
 
 
+def _activation_rows(name):
+    """Elementwise activation on a (rows, TB) tile. Explicit formulas —
+    Mosaic lacks expm1 (and these match the reference numpy shim exactly,
+    cosserat_ode.py:92-94)."""
+    if name == "elu":
+        return lambda a: jnp.where(a > 0, a, jnp.exp(a) - 1.0)
+    if name == "tanh":
+        return jnp.tanh
+    if name == "relu":
+        return lambda a: jnp.maximum(a, 0.0)
+    if name == "softplus":
+        return lambda a: jnp.log1p(jnp.exp(-jnp.abs(a))) + jnp.maximum(a, 0.0)
+    raise ValueError(name)
+
+
 def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
                       block_b: int = 256, interpret: bool = False,
-                      want_rod: bool = True, method: str = "euler"):
+                      want_rod: bool = True, method: str = "euler",
+                      pipeline: bool | None = None):
     """Build the fused spatial-sweep kernel for a concrete rod (+ optional
     KNODE net). Returns fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3),
     nn_params|None) -> (residual (B,6)[, y (B,N,19), z (B,N-1,6)]).
@@ -65,10 +94,14 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
     method: "euler" (reference parity, cosserat_ode.py:197-201) or "rk4"
     (cosserat_ode.py:222-242 with linear history midpoints, knode.py:80-81
     — the midpoints are computed in-kernel from the node histories).
+    pipeline: lowering mode (see module docstring). None picks statically:
+    grid pipeline for RK4 or N > 16, static unroll otherwise.
     """
     if method not in ("euler", "rk4"):
         raise ValueError(method)
     N = p.N
+    if pipeline is None:
+        pipeline = method == "rk4" or N > 16
     f = lambda v: float(np.asarray(v))
     Kse_inv = _c3(p.Kse_c0Bse_inv)
     Kbt_inv = _c3(p.Kbt_c0Bbt_inv)
@@ -88,12 +121,8 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
     rhoA = f(p.rhoA)
     ds = f(p.ds)
     use_nn = spec is not None
-    if use_nn and spec.history:
-        raise NotImplementedError("sweep kernel supports the 28-input net")
-    if use_nn and len(spec.dims) != 3:
-        raise NotImplementedError("sweep kernel supports the 2-layer MLP; "
-                                  f"got dims {spec.dims}")
-    hidden = spec.dims[1] if use_nn else 0
+    n_layers = len(spec.dims) - 1 if use_nn else 0
+    act = _activation_rows(spec.activation) if use_nn else None
 
     def rhs_rows(y, yh_j, zh_j, tf, w_refs):
         """y: list of 19 (1, TB) rows; yh_j (19, TB); zh_j (6, TB);
@@ -162,33 +191,55 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         z = v + u
 
         if use_nn:
-            w1_ref, b1_ref, w2_ref, b2_ref = w_refs
-            nn_in = jnp.concatenate(y + z + tf, axis=0)   # (28, TB)
-            a = jnp.dot(w1_ref[:], nn_in,
-                        preferred_element_type=jnp.float32) + b1_ref[:]
-            a = jnp.where(a > 0, a, jnp.exp(a) - 1.0) if spec.activation == "elu" \
-                else {"tanh": jnp.tanh,
-                      "relu": lambda x: jnp.maximum(x, 0.0),
-                      "softplus": lambda x: jnp.log1p(jnp.exp(-jnp.abs(x)))
-                      + jnp.maximum(x, 0.0)}[spec.activation](a)
-            out = jnp.dot(w2_ref[:], a,
-                          preferred_element_type=jnp.float32) + b2_ref[:]
-            dy = [dy[i] + out[i:i + 1, :] for i in range(19)]
-            z = [z[i] + out[19 + i:20 + i, :] for i in range(6)]
+            # input layout per cosserat_ode.py:171-175:
+            # [y, z, tf] (28) or [y, yh, z, zh, tf] (53) with history
+            if spec.history:
+                parts = y + [yh_j] + z + [zh_j] + tf
+            else:
+                parts = y + z + tf
+            x = jnp.concatenate(parts, axis=0)
+            for l in range(n_layers):
+                w_ref, b_ref = w_refs[2 * l], w_refs[2 * l + 1]
+                x = jnp.dot(w_ref[:], x,
+                            preferred_element_type=x.dtype) + b_ref[:]
+                if l < n_layers - 1:
+                    x = act(x)
+            dy = [dy[i] + x[i:i + 1, :] for i in range(19)]
+            z = [z[i] + x[19 + i:20 + i, :] for i in range(6)]
         return dy, z
 
-    def kernel(*refs):
-        if use_nn:
-            (G_ref, yh_ref, zh_ref, tf_ref, w1_ref, b1_ref, w2_ref, b2_ref,
-             *out_refs) = refs
-            w_refs = (w1_ref, b1_ref, w2_ref, b2_ref)
-        else:
-            G_ref, yh_ref, zh_ref, tf_ref, *out_refs = refs
-            w_refs = None
+    def euler_update(y, yh_j, zh_j, tf, w_refs):
+        dy, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
+        return [y[i] + ds * dy[i] for i in range(19)], z
+
+    def rk4_update(y, yh_j, zh_j, yh_j1, zh_j1, tf, w_refs):
+        yh_m = 0.5 * (yh_j + yh_j1)
+        zh_m = 0.5 * (zh_j + zh_j1)
+        k1, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
+        y2 = [y[i] + (ds / 2) * k1[i] for i in range(19)]
+        k2, _ = rhs_rows(y2, yh_m, zh_m, tf, w_refs)
+        y3 = [y[i] + (ds / 2) * k2[i] for i in range(19)]
+        k3, _ = rhs_rows(y3, yh_m, zh_m, tf, w_refs)
+        y4 = [y[i] + ds * k3[i] for i in range(19)]
+        k4, _ = rhs_rows(y4, yh_j1, zh_j1, tf, w_refs)
+        return [y[i] + (ds / 6.0) * (k1[i] + 2 * (k2[i] + k3[i]) + k4[i])
+                for i in range(19)], z
+
+    def split_weight_refs(refs):
+        if not use_nn:
+            return refs, None
+        return refs[2 * n_layers:], tuple(refs[:2 * n_layers])
+
+    # ------------------------------------------------------------------
+    # static-unroll kernel: one grid step per batch block, nodes inlined
+    # ------------------------------------------------------------------
+    def kernel_unrolled(*refs):
+        G_ref, yh_ref, zh_ref, tf_ref, *rest = refs
+        rest, w_refs = split_weight_refs(rest)
         if want_rod:
-            res_ref, y_ref, z_ref = out_refs
+            res_ref, y_ref, z_ref = rest
         else:
-            (res_ref,) = out_refs
+            (res_ref,) = rest
 
         tf = [tf_ref[i:i + 1, :] for i in range(3)]
         TB = G_ref.shape[1]
@@ -204,26 +255,15 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         if want_rod:
             y_ref[0:19, :] = jnp.concatenate(y, axis=0)
 
-        for j in range(N - 1):  # static unroll: N is small and fixed
+        for j in range(N - 1):  # static unroll
             yh_j = yh_ref[19 * j:19 * (j + 1), :]
             zh_j = zh_ref[6 * j:6 * (j + 1), :]
             if method == "euler":
-                dy, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
-                y = [y[i] + ds * dy[i] for i in range(19)]
-            else:  # rk4 with linearly-interpolated history midpoints
+                y, z = euler_update(y, yh_j, zh_j, tf, w_refs)
+            else:
                 yh_j1 = yh_ref[19 * (j + 1):19 * (j + 2), :]
                 zh_j1 = zh_ref[6 * (j + 1):6 * (j + 2), :]
-                yh_m = 0.5 * (yh_j + yh_j1)
-                zh_m = 0.5 * (zh_j + zh_j1)
-                k1, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)
-                y2 = [y[i] + (ds / 2) * k1[i] for i in range(19)]
-                k2, _ = rhs_rows(y2, yh_m, zh_m, tf, w_refs)
-                y3 = [y[i] + (ds / 2) * k2[i] for i in range(19)]
-                k3, _ = rhs_rows(y3, yh_m, zh_m, tf, w_refs)
-                y4 = [y[i] + ds * k3[i] for i in range(19)]
-                k4, _ = rhs_rows(y4, yh_j1, zh_j1, tf, w_refs)
-                y = [y[i] + (ds / 6.0) * (k1[i] + 2 * (k2[i] + k3[i])
-                                          + k4[i]) for i in range(19)]
+                y, z = rk4_update(y, yh_j, zh_j, yh_j1, zh_j1, tf, w_refs)
             if want_rod:
                 y_ref[19 * (j + 1):19 * (j + 2), :] = jnp.concatenate(y, axis=0)
                 z_ref[6 * j:6 * (j + 1), :] = jnp.concatenate(z, axis=0)
@@ -231,6 +271,69 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         res = [F_tip[i] - y[7 + i] for i in range(3)] + \
               [M_tip[i] - y[10 + i] for i in range(3)]
         res_ref[:] = jnp.concatenate(res, axis=0)
+
+    # ------------------------------------------------------------------
+    # grid-pipelined kernel: grid (batch_blocks, N-1); node j's history
+    # block is streamed in by the index map; the integrated state is
+    # carried across grid steps in VMEM scratch. Compiled once, any N.
+    # ------------------------------------------------------------------
+    def kernel_pipelined(*refs):
+        if method == "rk4":
+            G_ref, yh_ref, zh_ref, yh1_ref, zh1_ref, tf_ref, *rest = refs
+        else:
+            G_ref, yh_ref, zh_ref, tf_ref, *rest = refs
+        rest, w_refs = split_weight_refs(rest)
+        if want_rod:
+            res_ref, y_ref, z_ref, y_sc = rest
+        else:
+            res_ref, y_sc = rest
+
+        j = pl.program_id(1)
+        tf = [tf_ref[i:i + 1, :] for i in range(3)]
+        TB = G_ref.shape[1]
+        dt = G_ref.dtype
+        const_row = lambda c: jnp.full((1, TB), c, dt)
+
+        @pl.when(j == 0)
+        def _():
+            y0 = ([const_row(p0[i]) for i in range(3)]
+                  + [const_row(h0[i]) for i in range(4)]
+                  + [G_ref[i:i + 1, :] for i in range(6)]
+                  + [const_row(q0[i]) for i in range(3)]
+                  + [const_row(w0[i]) for i in range(3)])
+            y_sc[:] = jnp.concatenate(y0, axis=0)
+
+        y = [y_sc[i:i + 1, :] for i in range(19)]
+        if method == "euler":
+            y_new, z = euler_update(y, yh_ref[:], zh_ref[:], tf, w_refs)
+        else:
+            y_new, z = rk4_update(y, yh_ref[:], zh_ref[:], yh1_ref[:],
+                                  zh1_ref[:], tf, w_refs)
+        y_cat = jnp.concatenate(y_new, axis=0)
+        y_sc[:] = y_cat
+        if want_rod:
+            y_ref[:] = y_cat                       # block j <-> node j+1
+            z_ref[:] = jnp.concatenate(z, axis=0)
+
+        @pl.when(j == N - 2)
+        def _():
+            res = [F_tip[i] - y_new[7 + i] for i in range(3)] + \
+                  [M_tip[i] - y_new[10 + i] for i in range(3)]
+            res_ref[:] = jnp.concatenate(res, axis=0)
+
+    def _weight_args_specs(nn_params, vmem):
+        """Per-layer (dout, din) weight + (dout, 1) bias, replicated over
+        the grid."""
+        args, specs = [], []
+        for l in range(n_layers):
+            w = nn_params[l]["w"]                     # (dout, din)
+            b = nn_params[l]["b"][:, None]            # (dout, 1)
+            for a in (w, b):
+                args.append(a)
+                specs.append(pl.BlockSpec(
+                    a.shape, (lambda i: (0, 0)) if not pipeline
+                    else (lambda i, j: (0, 0)), memory_space=vmem))
+        return args, specs
 
     def fwd(G, yh, zh, tf, nn_params=None):
         """G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3) -> outputs (B,...)."""
@@ -244,42 +347,88 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         yht = jnp.pad(yh.reshape(B, N * 19), ((0, Bp - B), (0, 0))).T
         zht = jnp.pad(zh.reshape(B, N * 6), ((0, Bp - B), (0, 0))).T
         tft = jnp.pad(tf, ((0, Bp - B), (0, 0))).T                 # (3, Bp)
+        vmem = pltpu.VMEM
 
-        bspec = lambda rows: pl.BlockSpec((rows, TB), lambda i: (0, i),
-                                          memory_space=pltpu.VMEM)
-        in_specs = [bspec(6), bspec(N * 19), bspec(N * 6), bspec(3)]
-        args = [Gt, yht, zht, tft]
+        if not pipeline:
+            bspec = lambda rows: pl.BlockSpec((rows, TB), lambda i: (0, i),
+                                              memory_space=vmem)
+            in_specs = [bspec(6), bspec(N * 19), bspec(N * 6), bspec(3)]
+            args = [Gt, yht, zht, tft]
+            if use_nn:
+                wargs, wspecs = _weight_args_specs(nn_params, vmem)
+                args += wargs
+                in_specs += wspecs
+            out_shape = [jax.ShapeDtypeStruct((6, Bp), dt)]
+            out_specs = [bspec(6)]
+            if want_rod:
+                out_shape += [jax.ShapeDtypeStruct((N * 19, Bp), dt),
+                              jax.ShapeDtypeStruct(((N - 1) * 6, Bp), dt)]
+                out_specs += [bspec(N * 19), bspec((N - 1) * 6)]
+            outs = pl.pallas_call(
+                kernel_unrolled,
+                grid=(Bp // TB,),
+                in_specs=in_specs,
+                out_specs=out_specs,
+                out_shape=out_shape,
+                interpret=interpret,
+            )(*args)
+            res = outs[0].T[:B]
+            if not want_rod:
+                return res
+            y_out = outs[1].T[:B].reshape(B, N, 19)
+            z_out = outs[2].T[:B].reshape(B, N - 1, 6)
+            return res, y_out, z_out
+
+        # --- grid-pipelined path ---
+        const_spec = lambda rows: pl.BlockSpec(
+            (rows, TB), lambda i, j: (0, i), memory_space=vmem)
+        node_spec = lambda rows: pl.BlockSpec(
+            (rows, TB), lambda i, j: (j, i), memory_space=vmem)
+        node1_spec = lambda rows: pl.BlockSpec(
+            (rows, TB), lambda i, j: (j + 1, i), memory_space=vmem)
+
+        in_specs = [const_spec(6), node_spec(19), node_spec(6)]
+        args = [Gt, yht, zht]
+        if method == "rk4":
+            in_specs += [node1_spec(19), node1_spec(6)]
+            args += [yht, zht]
+        in_specs += [const_spec(3)]
+        args += [tft]
         if use_nn:
-            w1 = nn_params[0]["w"]              # (hidden, 28)
-            b1 = nn_params[0]["b"][:, None]     # (hidden, 1)
-            w2 = nn_params[1]["w"]              # (25, hidden)
-            b2 = nn_params[1]["b"][:, None]
-            wspec = lambda shape: pl.BlockSpec(shape, lambda i: (0, 0),
-                                               memory_space=pltpu.VMEM)
-            in_specs += [wspec((hidden, 28)), wspec((hidden, 1)),
-                         wspec((25, hidden)), wspec((25, 1))]
-            args += [w1, b1, w2, b2]
+            wargs, wspecs = _weight_args_specs(nn_params, vmem)
+            args += wargs
+            in_specs += wspecs
 
         out_shape = [jax.ShapeDtypeStruct((6, Bp), dt)]
-        out_specs = [bspec(6)]
+        out_specs = [const_spec(6)]
         if want_rod:
-            out_shape += [jax.ShapeDtypeStruct((N * 19, Bp), dt),
+            out_shape += [jax.ShapeDtypeStruct(((N - 1) * 19, Bp), dt),
                           jax.ShapeDtypeStruct(((N - 1) * 6, Bp), dt)]
-            out_specs += [bspec(N * 19), bspec((N - 1) * 6)]
+            out_specs += [node_spec(19), node_spec(6)]
 
         outs = pl.pallas_call(
-            kernel,
-            grid=(Bp // TB,),
+            kernel_pipelined,
+            grid=(Bp // TB, N - 1),
             in_specs=in_specs,
             out_specs=out_specs,
             out_shape=out_shape,
+            scratch_shapes=[pltpu.VMEM((19, TB), dt)],
             interpret=interpret,
         )(*args)
 
         res = outs[0].T[:B]
         if not want_rod:
             return res
-        y_out = outs[1].T[:B].reshape(B, N, 19)
+        # node 0 is the known base state — assemble it host-of-kernel
+        base = jnp.concatenate([
+            jnp.broadcast_to(jnp.asarray(p0, dt), (B, 3)),
+            jnp.broadcast_to(jnp.asarray(h0, dt), (B, 4)),
+            G[:, 0:3], G[:, 3:6],
+            jnp.broadcast_to(jnp.asarray(q0, dt), (B, 3)),
+            jnp.broadcast_to(jnp.asarray(w0, dt), (B, 3)),
+        ], axis=1)[:, None, :]                                  # (B, 1, 19)
+        y_rest = outs[1].T[:B].reshape(B, N - 1, 19)
+        y_out = jnp.concatenate([base, y_rest], axis=1)
         z_out = outs[2].T[:B].reshape(B, N - 1, 6)
         return res, y_out, z_out
 

@@ -11,7 +11,7 @@ from typing import Optional, Sequence
 import numpy as np
 
 __all__ = ["visualize_2d", "ContinuumRobotVisualizer", "plot_2d",
-           "plot_training_curves"]
+           "plot_training_curves", "tip_generalization_plot"]
 
 
 def _state_last(traj: np.ndarray) -> np.ndarray:
@@ -150,4 +150,74 @@ def plot_training_curves(loss_histories, labels=None, title="Training loss"):
     ax.set_xlabel("Epochs")
     ax.set_title(title)
     ax.legend()
+    return fig
+
+
+# color/linestyle coding per training set (physics_multigraphs.py:203-222)
+_TIPX_STYLES = (
+    ("sine random", ("blue", "solid")),
+    ("sine sine", ("green", "solid")),
+    ("random", ("cyan", "dashed")),
+    ("sine", ("lime", "dashed")),
+    ("step", ("pink", "dashed")),
+)
+
+
+def _tipx_style(label: str):
+    if "baseline" in label:
+        return "red", "solid"
+    for key, style in _TIPX_STYLES:
+        if key in label:
+            return style
+    return "gray", "solid"
+
+
+def tip_generalization_plot(evals_dir: str, eval_name: str,
+                            mods: Sequence[str], datas: Sequence[str],
+                            seed: int = 0, original: bool = False,
+                            del_t: float = 0.05, save: Optional[str] = None):
+    """Per-mod tip-X generalization figure (physics_multigraphs.py:186-231):
+    for one unseen eval schedule, overlay the tip X(t) predicted by models
+    trained on each training set (color-coded) plus the no-NN baseline (red)
+    and the reference rollout (black).
+
+    Reads the evals/*.npz records written by evaluation.tables.evaluate_cells
+    ({tensions, reference, predicted}, state-last layout).
+    """
+    plt = _mpl()
+    prefix = "physics_original" if original else "physics"
+    ncols = 2
+    nrows = (len(mods) + 1) // 2
+    fig, axes = plt.subplots(nrows, ncols, figsize=(12, 4 * nrows / 2 + 2))
+    fig.suptitle(f"Model generalization to {eval_name} Trajectory: "
+                 "Tip X axis")
+    axes = np.atleast_1d(axes).ravel()
+    tip_x = lambda a: a[:, -1, 0] if a.shape[-1] >= 19 else a[:, 0, 9]
+
+    for ax, mod in zip(axes, mods):
+        ax.set_title(str(mod))
+        result = None
+        for data in [*datas, "baseline"]:
+            label = (f"baseline {mod}" if data == "baseline"
+                     else f"{data} {mod} {seed}")
+            fname = os.path.join(
+                evals_dir, f"{prefix}_" + eval_name.replace(" ", "_")
+                + "+" + label.replace(" ", "_") + ".npz")
+            if not os.path.exists(fname):
+                continue
+            result = np.load(fname)
+            ts = np.arange(result["tensions"].shape[0]) * del_t
+            color, linestyle = _tipx_style(data)
+            ax.plot(ts, tip_x(result["predicted"]), color,
+                    linestyle=linestyle, label=data)
+        if result is not None:
+            ts = np.arange(result["tensions"].shape[0]) * del_t
+            ax.plot(ts, tip_x(result["reference"]), "k-", label="Reference")
+        ax.legend(loc="upper right", ncol=3, fontsize=7)
+        ax.set_xlabel("Time (s)")
+        ax.set_ylabel("Tip Position X (m)")
+    fig.tight_layout(pad=0.5)
+    if save:
+        os.makedirs(os.path.dirname(save) or ".", exist_ok=True)
+        fig.savefig(save, dpi=120)
     return fig

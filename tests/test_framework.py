@@ -117,6 +117,29 @@ def test_evaluate_cells_and_table(tmp_path):
     assert len(list(tmp_path.glob("*.npz"))) == 2
 
 
+def test_tip_generalization_plot(tmp_path):
+    """C11 closure: the per-mod tip-X figure renders from saved eval records
+    (physics_multigraphs.py:186-231)."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from knode_cosserat_tpu.viz.visualizer import tip_generalization_plot
+
+    cells = build_grid(["sine 0.5"], ["nsw", "youngs"], 1)
+    spec = MLPSpec.for_knode(16)
+    params = [jax.tree.map(lambda x: x * 1e-3,
+                           init_mlp(spec, jax.random.PRNGKey(s),
+                                    jnp.float64)) for s in range(2)]
+    evaluate_cells(cells, params, spec, ["sine 1.5"], eval_len=10,
+                   save_dir=str(tmp_path))
+    out = str(tmp_path / "figs" / "tipx.png")
+    fig = tip_generalization_plot(str(tmp_path), "sine 1.5",
+                                  ["nsw", "youngs"], ["sine 0.5"], save=out)
+    assert fig is not None and os.path.exists(out)
+    # every mod axis carries the reference + baseline + training-set lines
+    for ax in fig.axes:
+        assert len(ax.lines) == 3
+
+
 # ---------------- config ----------------
 
 def test_experiment_config_roundtrip(tmp_path):
