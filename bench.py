@@ -194,6 +194,18 @@ def main():
     import jax
     if os.environ.get("KNODE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["KNODE_PLATFORM"])
+    # The axon TPU tunnel occasionally fails to acquire the chip for a
+    # minute or so after another process releases it, and JAX then falls
+    # back to CPU silently — which would record garbage numbers. Re-exec
+    # until the accelerator comes back (unless CPU was asked for).
+    retries = int(os.environ.get("KNODE_BENCH_TPU_RETRIES", "5"))
+    if (jax.default_backend() == "cpu"
+            and not os.environ.get("KNODE_PLATFORM") and retries > 0):
+        print(f"# TPU backend unavailable (transient axon lease?); "
+              f"re-exec in 60s ({retries} retries left)", file=sys.stderr)
+        time.sleep(60)
+        os.environ["KNODE_BENCH_TPU_RETRIES"] = str(retries - 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
     import jax.numpy as jnp
     from knode_cosserat_tpu import apply_mod
     from knode_cosserat_tpu.training import (TrainConfig, make_training_data)

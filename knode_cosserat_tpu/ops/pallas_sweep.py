@@ -68,6 +68,13 @@ def _cross(a, b):
             a[0] * b[1] - a[1] * b[0]]
 
 
+# padded per-node slab heights for the grid-pipelined lowering: Mosaic
+# requires streamed block second-minor dims divisible by 8 (19 state rows
+# -> 24, 6 strain rows -> 8); kernels slice back to the live rows
+_YR = 24
+_ZR = 8
+
+
 def _activation_rows(name):
     """Elementwise activation on a (rows, TB) tile. Explicit formulas —
     Mosaic lacks expm1 (and these match the reference numpy shim exactly,
@@ -303,17 +310,24 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
                   + [const_row(w0[i]) for i in range(3)])
             y_sc[:] = jnp.concatenate(y0, axis=0)
 
+        # node slabs are padded to YR/ZR rows so the streamed blocks tile
+        # (Mosaic: second-minor block dim must be divisible by 8); the
+        # physics only reads the live rows
         y = [y_sc[i:i + 1, :] for i in range(19)]
         if method == "euler":
-            y_new, z = euler_update(y, yh_ref[:], zh_ref[:], tf, w_refs)
+            y_new, z = euler_update(y, yh_ref[0:19, :], zh_ref[0:6, :],
+                                    tf, w_refs)
         else:
-            y_new, z = rk4_update(y, yh_ref[:], zh_ref[:], yh1_ref[:],
-                                  zh1_ref[:], tf, w_refs)
+            y_new, z = rk4_update(y, yh_ref[0:19, :], zh_ref[0:6, :],
+                                  yh1_ref[0:19, :], zh1_ref[0:6, :],
+                                  tf, w_refs)
         y_cat = jnp.concatenate(y_new, axis=0)
         y_sc[:] = y_cat
         if want_rod:
-            y_ref[:] = y_cat                       # block j <-> node j+1
-            z_ref[:] = jnp.concatenate(z, axis=0)
+            pad = jnp.zeros((_YR - 19, TB), dt)
+            y_ref[:] = jnp.concatenate([y_cat, pad], axis=0)  # blk j <-> node j+1
+            z_ref[:] = jnp.concatenate(
+                z + [jnp.zeros((_ZR - 6, TB), dt)], axis=0)
 
         @pl.when(j == N - 2)
         def _():
@@ -380,6 +394,12 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
             return res, y_out, z_out
 
         # --- grid-pipelined path ---
+        # per-node slabs padded 19 -> _YR, 6 -> _ZR rows so the streamed
+        # blocks satisfy Mosaic's x8 second-minor tiling rule
+        yhtp = jnp.pad(yh, ((0, Bp - B), (0, 0), (0, _YR - 19))
+                       ).reshape(Bp, N * _YR).T               # (N*_YR, Bp)
+        zhtp = jnp.pad(zh, ((0, Bp - B), (0, 0), (0, _ZR - 6))
+                       ).reshape(Bp, N * _ZR).T               # (N*_ZR, Bp)
         const_spec = lambda rows: pl.BlockSpec(
             (rows, TB), lambda i, j: (0, i), memory_space=vmem)
         node_spec = lambda rows: pl.BlockSpec(
@@ -387,11 +407,11 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         node1_spec = lambda rows: pl.BlockSpec(
             (rows, TB), lambda i, j: (j + 1, i), memory_space=vmem)
 
-        in_specs = [const_spec(6), node_spec(19), node_spec(6)]
-        args = [Gt, yht, zht]
+        in_specs = [const_spec(6), node_spec(_YR), node_spec(_ZR)]
+        args = [Gt, yhtp, zhtp]
         if method == "rk4":
-            in_specs += [node1_spec(19), node1_spec(6)]
-            args += [yht, zht]
+            in_specs += [node1_spec(_YR), node1_spec(_ZR)]
+            args += [yhtp, zhtp]
         in_specs += [const_spec(3)]
         args += [tft]
         if use_nn:
@@ -402,9 +422,9 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
         out_shape = [jax.ShapeDtypeStruct((6, Bp), dt)]
         out_specs = [const_spec(6)]
         if want_rod:
-            out_shape += [jax.ShapeDtypeStruct(((N - 1) * 19, Bp), dt),
-                          jax.ShapeDtypeStruct(((N - 1) * 6, Bp), dt)]
-            out_specs += [node_spec(19), node_spec(6)]
+            out_shape += [jax.ShapeDtypeStruct(((N - 1) * _YR, Bp), dt),
+                          jax.ShapeDtypeStruct(((N - 1) * _ZR, Bp), dt)]
+            out_specs += [node_spec(_YR), node_spec(_ZR)]
 
         outs = pl.pallas_call(
             kernel_pipelined,
@@ -427,9 +447,9 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
             jnp.broadcast_to(jnp.asarray(q0, dt), (B, 3)),
             jnp.broadcast_to(jnp.asarray(w0, dt), (B, 3)),
         ], axis=1)[:, None, :]                                  # (B, 1, 19)
-        y_rest = outs[1].T[:B].reshape(B, N - 1, 19)
+        y_rest = outs[1].T[:B].reshape(B, N - 1, _YR)[:, :, :19]
         y_out = jnp.concatenate([base, y_rest], axis=1)
-        z_out = outs[2].T[:B].reshape(B, N - 1, 6)
+        z_out = outs[2].T[:B].reshape(B, N - 1, _ZR)[:, :, :6]
         return res, y_out, z_out
 
     return fwd

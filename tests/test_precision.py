@@ -13,11 +13,14 @@ def test_f32_rollout_tracks_f64():
     p32 = apply_mod(None, dtype=jnp.float32)
     ctl = calc_controls("sine", 1.0, float(p64.del_t), 60)
     t64 = np.asarray(simulate_scan(p64, jnp.asarray(ctl)).traj)
-    out32 = simulate_scan(p32, jnp.asarray(ctl, jnp.float32), tol=1e-10)
+    out32 = simulate_scan(p32, jnp.asarray(ctl, jnp.float32), tol=1e-12)
     t32 = np.asarray(out32.traj)
     # positions within a micron, solver healthy
     assert np.abs(t32[:, :, :3] - t64[:, :, :3]).max() < 5e-6
-    assert np.asarray(out32.residuals).max() < 1e-4
+    # the f32 default path converges below 1e-5 residual (the pre-LM
+    # solver stalled near 5e-4; Levenberg-Marquardt escalation in
+    # newton_solve pushes through the f32 plateau)
+    assert np.asarray(out32.residuals).max() < 1e-5
     assert np.isfinite(t32).all()
 
 
