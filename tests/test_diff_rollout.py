@@ -22,12 +22,13 @@ def test_rollout_gradient_wrt_gravity_matches_fd():
     p = apply_mod(None)
     controls = jnp.asarray(calc_controls("sine", 1.0, float(p.del_t), 6))
 
+    @jax.jit
     def f(gz):
         q = p.replace(g=jnp.asarray([0.0, 0.0, gz]),
                       rhoAg=p.rhoA * jnp.asarray([0.0, 0.0, gz]))
         return _tip_x_after_rollout(q, controls)
 
-    g = jax.grad(f)(-9.81)
+    g = jax.jit(jax.grad(f))(-9.81)
     eps = 1e-4
     fd = (f(-9.81 + eps) - f(-9.81 - eps)) / (2 * eps)
     assert float(g) == pytest.approx(float(fd), rel=1e-4)
@@ -40,10 +41,11 @@ def test_rollout_gradient_wrt_nn_weights():
                           init_mlp(spec, jax.random.PRNGKey(0), jnp.float64))
     controls = jnp.asarray(calc_controls("sine", 1.0, float(p.del_t), 5))
 
+    @jax.jit
     def f(q):
         return _tip_x_after_rollout(p, controls, nn_fn=bind(spec, q))
 
-    g = jax.grad(f)(params)
+    g = jax.jit(jax.grad(f))(params)
     total = sum(float(jnp.abs(l).sum()) for l in jax.tree.leaves(g))
     assert np.isfinite(total) and total > 0
 
@@ -63,12 +65,15 @@ def test_remat_rollout_gradient_matches_plain():
     controls = jnp.asarray(calc_controls("sine", 1.0, float(p.del_t), 5))
 
     # derive() is host-side; differentiate w.r.t. a traced tip force
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="remat")
     def g(F, remat=False):
         q = p.replace(F_tip=jnp.asarray([F, 0.0, 0.0]))
         return _tip_x_after_rollout(q, controls, remat=remat)
 
-    g_plain = jax.grad(g)(0.1)
-    g_remat = jax.grad(lambda F: g(F, remat=True))(0.1)
+    g_plain = jax.jit(jax.grad(g))(0.1)
+    g_remat = jax.jit(jax.grad(lambda F: g(F, remat=True)))(0.1)
     assert float(g_plain) == pytest.approx(float(g_remat), rel=1e-10)
     eps = 1e-5
     fd = (g(0.1 + eps) - g(0.1 - eps)) / (2 * eps)
