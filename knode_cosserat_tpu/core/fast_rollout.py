@@ -64,7 +64,9 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
         R = y.shape[0]
         yh = p.c1 * y + p.c2 * y_prev
         zh = p.c1 * z + p.c2 * z_prev
-        tf = jnp.asarray(tensions, dtype) @ p.tendon_dirs      # (R, 3)
+        tf = jnp.einsum("rt,tc->rc", jnp.asarray(tensions, dtype),
+                        jnp.asarray(p.tendon_dirs, dtype),
+                        precision=jax.lax.Precision.HIGHEST)   # (R, 3)
 
         def res_batch(G_flat, width):
             rep = lambda a: jnp.repeat(a, width, axis=0)

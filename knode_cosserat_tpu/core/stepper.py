@@ -108,7 +108,9 @@ def simulate_scan(
         y, z, y_prev, z_prev, G = carry
         yh = p.c1 * y + p.c2 * y_prev
         zh = p.c1 * z + p.c2 * z_prev
-        tf = jnp.asarray(tensions, dtype) @ p.tendon_dirs
+        tf = jnp.einsum("t,tc->c", jnp.asarray(tensions, dtype),
+                        jnp.asarray(p.tendon_dirs, dtype),
+                        precision=jax.lax.Precision.HIGHEST)
 
         if method == "euler":
             def res(Gx):

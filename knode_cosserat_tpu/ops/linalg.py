@@ -55,9 +55,13 @@ def solve_small(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def solve_spd_small(A: jnp.ndarray, b: jnp.ndarray, damping=0.0) -> jnp.ndarray:
     """Solve (A^T A + damping I) x = A^T b — the Levenberg-Marquardt normal
     equations, for rescuing near-singular Newton steps."""
+    import jax
     n = A.shape[-1]
-    AtA = jnp.einsum("...ki,...kj->...ij", A, A)
-    Atb = jnp.einsum("...ki,...k->...i", A, b)
+    # full f32 accumulation: the normal equations square the condition
+    # number, so bf16 MXU passes (TPU default) are not acceptable here
+    hi = jax.lax.Precision.HIGHEST
+    AtA = jnp.einsum("...ki,...kj->...ij", A, A, precision=hi)
+    Atb = jnp.einsum("...ki,...k->...i", A, b, precision=hi)
     if damping:
         AtA = AtA + damping * jnp.eye(n, dtype=A.dtype)
     return solve_small(AtA, Atb)

@@ -18,6 +18,8 @@ physics_train.py:351-352).
 from __future__ import annotations
 
 from typing import Sequence, Tuple
+
+import jax
 import jax.numpy as jnp
 
 from ..core.params import RodParams
@@ -66,7 +68,9 @@ def grow_predictions(
     y_in = G[:, kp - 1, :19]           # (T-1, K, 19)
     yh_in = yh[:, kp - 1]
     zh_in = zh[:, kp - 1]
-    tf = controls[:-1] @ p.tendon_dirs  # (T-1, 3)
+    tf = jnp.einsum("tk,kc->tc", controls[:-1],
+                    jnp.asarray(p.tendon_dirs, controls.dtype),
+                    precision=jax.lax.Precision.HIGHEST)  # (T-1, 3)
 
     if fused_fn is not None:
         # fused Pallas path: flatten (T-1, K) into one batch for the kernel
