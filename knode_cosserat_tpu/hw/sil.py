@@ -26,7 +26,8 @@ import numpy as np
 from .bridge import SimulatedWinchPlant
 from .teleop import JoyState, TeleopNode, VirtualFirmwareSerial
 
-__all__ = ["run_sil_experiment", "export_csv_bundle", "sil_pipeline"]
+__all__ = ["run_sil_experiment", "export_csv_bundle", "export_bag",
+           "sil_pipeline"]
 
 MARKER_NODES = (0, 3, 5, 7, 9)
 LINK_TOPICS = ("vicon-continuum_base-pose", "vicon-continuum_0-pose",
@@ -55,13 +56,12 @@ def run_sil_experiment(joy: JoyState, settle: float = 1.0,
     return vs
 
 
-def export_csv_bundle(vs: VirtualFirmwareSerial, out_dir: str,
-                      rod=None) -> dict:
-    """Write the run as a bagpy-style per-topic CSV bundle readable by
-    realworld.bag.read_topic_csvs.
+def collect_topic_frames(vs: VirtualFirmwareSerial, rod=None):
+    """Assemble the run's recorded topics as bagpy-style flattened-column
+    DataFrames (keyed by filename-style topic), plus the ground-truth
+    rollout driven by the PID loop's ACHIEVED tensions.
 
-    The rod rollout driven by the achieved tensions provides the mocap
-    topics. Returns {controls (T,4) N, traj (T,50,N)} of that rollout.
+    Returns (frames, {controls (T,4) N, traj (T,50,N), ts}).
     """
     import pandas as pd
     from ..core.params import apply_mod
@@ -70,7 +70,6 @@ def export_csv_bundle(vs: VirtualFirmwareSerial, out_dir: str,
 
     if rod is None:
         rod = apply_mod(None)
-    os.makedirs(out_dir, exist_ok=True)
 
     tel_t = np.array([t for t, _, _ in vs.telemetry_log])
     tel_g = np.array([r for _, r, _ in vs.telemetry_log])    # grams
@@ -84,6 +83,7 @@ def export_csv_bundle(vs: VirtualFirmwareSerial, out_dir: str,
     controls = grams / 1000.0 * 9.81
     traj = np.asarray(simulate(rod, controls, reference_layout=True))
 
+    frames = {}
     # --- mocap topics from the rollout (inverse of preprocess.adj_pos) ---
     links_ts = ts - ts[0]
     for topic, node in zip(LINK_TOPICS, MARKER_NODES):
@@ -92,7 +92,7 @@ def export_csv_bundle(vs: VirtualFirmwareSerial, out_dir: str,
             pos[:, 2] -= BASE_MARKER_HEIGHT
         quat_sf = traj[:, 3:7, node]
         quat_xyzw = quat_sf[:, [1, 2, 3, 0]]
-        pd.DataFrame({
+        frames[topic] = pd.DataFrame({
             "Time": links_ts,
             "pose.position.x": pos[:, 0],
             "pose.position.y": pos[:, 1],
@@ -101,33 +101,72 @@ def export_csv_bundle(vs: VirtualFirmwareSerial, out_dir: str,
             "pose.orientation.y": quat_xyzw[:, 1],
             "pose.orientation.z": quat_xyzw[:, 2],
             "pose.orientation.w": quat_xyzw[:, 3],
-        }).to_csv(os.path.join(out_dir, topic + ".csv"), index=False)
+        })
 
-    # --- /tension topic: QuaternionStamped channel quirk [y,z,w,x] ------
-    pd.DataFrame({
-        "Time": tel_t - ts[0],
-        "quaternion.x": tel_g[:, 3],
-        "quaternion.y": tel_g[:, 0],
-        "quaternion.z": tel_g[:, 1],
-        "quaternion.w": tel_g[:, 2],
-    }).to_csv(os.path.join(out_dir, "tension.csv"), index=False)
-
-    # --- /pwm topic (same layout; recorded for completeness) ------------
-    pd.DataFrame({
-        "Time": tel_t - ts[0],
-        "quaternion.x": tel_pwm[:, 3],
-        "quaternion.y": tel_pwm[:, 0],
-        "quaternion.z": tel_pwm[:, 1],
-        "quaternion.w": tel_pwm[:, 2],
-    }).to_csv(os.path.join(out_dir, "pwm.csv"), index=False)
+    # --- /tension, /pwm: QuaternionStamped channel quirk [y,z,w,x] ------
+    for name, vals in (("tension", tel_g), ("pwm", tel_pwm)):
+        frames[name] = pd.DataFrame({
+            "Time": tel_t - ts[0],
+            "quaternion.x": vals[:, 3],
+            "quaternion.y": vals[:, 0],
+            "quaternion.z": vals[:, 1],
+            "quaternion.w": vals[:, 2],
+        })
 
     # --- /rosout command log (motor_joy_teleop:146 format) --------------
-    pd.DataFrame({
+    frames["rosout"] = pd.DataFrame({
         "Time": [t - ts[0] for t, _ in vs.command_log],
         "msg": [f"Serial Command: {cmd}" for _, cmd in vs.command_log],
-    }).to_csv(os.path.join(out_dir, "rosout.csv"), index=False)
+    })
+    return frames, {"controls": controls, "traj": traj, "ts": ts}
 
-    return {"controls": controls, "traj": traj, "ts": ts}
+
+def export_csv_bundle(vs: VirtualFirmwareSerial, out_dir: str,
+                      rod=None) -> dict:
+    """Write the run as a bagpy-style per-topic CSV bundle readable by
+    realworld.bag.read_topic_csvs.
+
+    The rod rollout driven by the achieved tensions provides the mocap
+    topics. Returns {controls (T,4) N, traj (T,50,N)} of that rollout.
+    """
+    frames, truth = collect_topic_frames(vs, rod=rod)
+    os.makedirs(out_dir, exist_ok=True)
+    for topic, df in frames.items():
+        df.to_csv(os.path.join(out_dir, topic + ".csv"), index=False)
+    return truth
+
+
+def export_bag(vs: VirtualFirmwareSerial, path: str, rod=None) -> dict:
+    """Record the run as a genuine rosbag v2.0 file — the exact artifact a
+    real `rosbag record` session produces in the reference workflow
+    (SURVEY.md section 3.5) — readable by realworld.bag.read_bag (and by
+    standard ROS tooling). Returns the ground-truth rollout dict."""
+    from ..realworld.rosbag_io import BagWriter
+
+    frames, truth = collect_topic_frames(vs, rod=rod)
+    ros_topic = {t: "/" + t.replace("-pose", "/pose").replace("-", "/")
+                 for t in LINK_TOPICS}
+    with BagWriter(path) as w:
+        for topic, df in frames.items():
+            if topic in ros_topic:
+                for _, r in df.iterrows():
+                    w.write_pose(ros_topic[topic], r["Time"],
+                                 [r["pose.position.x"], r["pose.position.y"],
+                                  r["pose.position.z"]],
+                                 [r["pose.orientation.x"],
+                                  r["pose.orientation.y"],
+                                  r["pose.orientation.z"],
+                                  r["pose.orientation.w"]])
+            elif topic in ("tension", "pwm"):
+                for _, r in df.iterrows():
+                    w.write_quaternion("/" + topic, r["Time"],
+                                       [r["quaternion.x"], r["quaternion.y"],
+                                        r["quaternion.z"],
+                                        r["quaternion.w"]])
+            elif topic == "rosout":
+                for _, r in df.iterrows():
+                    w.write_log(r["Time"], r["msg"])
+    return truth
 
 
 def sil_pipeline(joy: JoyState, out_dir: str, settle: float = 1.0,

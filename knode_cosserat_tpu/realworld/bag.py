@@ -6,9 +6,10 @@ and /rosout-logged serial commands, merged by time with forward-fill,
 trimmed, ZOH-resampled onto the solver's del_t grid and converted
 grams -> newtons.
 
-``bagpy`` is optional (not present in TPU CI images): ``read_bag`` uses it
-when available; ``read_topic_csvs`` consumes a directory of per-topic CSVs
-(exactly what bagpy extracts from a .bag) so the pipeline runs anywhere.
+``read_bag`` ingests .bag files directly: via ``bagpy`` when installed,
+else the built-in pure-Python rosbag v2.0 reader (rosbag_io.py) — no ROS
+required. ``read_topic_csvs`` additionally consumes a directory of
+per-topic CSVs (the format bagpy extracts) for pre-exported data.
 """
 from __future__ import annotations
 
@@ -143,13 +144,28 @@ def read_topic_csvs(directory: str, del_t: float, experiment: str = "",
 
 
 def read_bag(filename: str, del_t: float, N: int = 10) -> dict:
-    """Ingest a .bag directly via bagpy (prepare.py:173-297)."""
+    """Ingest a .bag directly (prepare.py:173-297).
+
+    Uses bagpy when installed; otherwise the built-in pure-Python rosbag
+    v2.0 reader (realworld/rosbag_io.py) — same flattened columns, so the
+    rest of the pipeline is loader-agnostic."""
     try:
         from bagpy import bagreader
-    except ImportError as e:
-        raise ImportError(
-            "bagpy is not installed; extract the bag to per-topic CSVs and "
-            "use read_topic_csvs() instead") from e
+    except ImportError:
+        from .rosbag_io import read_bag_native
+        tables = read_bag_native(filename)
+        frames = {}
+        for name, topic in POSE_TOPICS.items():
+            if topic not in tables:
+                raise KeyError(f"{filename}: missing pose topic {topic}")
+            frames[name] = tables[topic].set_index("Time")
+        tension = tables.get("/tension")
+        if tension is not None:
+            tension = tension.set_index("Time").add_prefix("tension.")
+        rosout = tables.get("/rosout")
+        if rosout is not None:
+            rosout = rosout.set_index("Time")
+        return _assemble(frames, tension, rosout, filename, del_t, N=N)
 
     b = bagreader(filename)
     frames = {name: pd.read_csv(b.message_by_topic(topic)).set_index("Time")

@@ -31,6 +31,14 @@ def main():
     out = export_csv_bundle(vs, os.path.join(FIXTURES, "sil_step_1100"))
     print("sil_step_1100:", out["controls"].shape)
 
+    # the same experiment as a genuine binary rosbag v2.0 file (the exact
+    # `rosbag record` artifact the reference pipeline consumed), with a
+    # non-commensurate firmware period as real hardware has
+    from knode_cosserat_tpu.hw import export_bag
+    vs = run_sil_experiment(joy_step, settle=0.5, tail=3.0, dt=0.0021)
+    out = export_bag(vs, os.path.join(FIXTURES, "sil_step_1100.bag"))
+    print("sil_step_1100.bag:", out["controls"].shape)
+
     # X-button sine sweep, parameter 0 (period 0.5 s)
     joy_sine = JoyState(axes=(0, 0, 1.0, 0, 0, 1.0),
                         buttons=(0, 0, 1, 0, 0, 0))
