@@ -191,6 +191,7 @@ def make_fast_rollout(
     jacobian_refresh: int = 1,
     fd_order: int = 2,
     method: str = "euler",
+    extrapolate: bool = True,
 ):
     """Build fn(controls (R, T, 4), nn_params|None) -> traj (R, T, N, 50).
 
@@ -218,14 +219,18 @@ def make_fast_rollout(
         G0 = jnp.zeros((R, 6), dtype)
 
         def step(carry, tensions):
-            y, z, y_prev, z_prev, G = carry
+            y, z, y_prev, z_prev, G, G_prev = carry
+            # linear extrapolation of the base reaction across time steps
+            # starts Newton closer to the root (fewer iterations; the
+            # converged G is tolerance-identical either way)
+            G_guess = 2.0 * G - G_prev if extrapolate else G
             y_new, z_new, G_new, yh, zh, r2, iters = inner(
-                y, z, y_prev, z_prev, G, tensions, nn_params)
+                y, z, y_prev, z_prev, G_guess, tensions, nn_params)
             record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
-            return ((y_new, z_new, y, z, G_new),
+            return ((y_new, z_new, y, z, G_new, G),
                     (record, jnp.sqrt(r2), iters))
 
-        carry0 = (y0, z0, y0, z0, G0)
+        carry0 = (y0, z0, y0, z0, G0, G0)
         _, (records, res, iters) = lax.scan(
             step, carry0, jnp.swapaxes(controls, 0, 1)[:T - 1])
         rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]

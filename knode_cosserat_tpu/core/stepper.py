@@ -80,6 +80,7 @@ def simulate_scan(
     max_iter: int = 50,
     differentiable: bool = False,
     remat: bool = False,
+    extrapolate: bool = True,
 ) -> SimOutput:
     """Jit-compatible rollout over a (T, 4) tension schedule.
 
@@ -105,9 +106,14 @@ def simulate_scan(
     z_tip = z0[-1]  # frozen forever (see module docstring)
 
     def step(carry, tensions):
-        y, z, y_prev, z_prev, G = carry
+        y, z, y_prev, z_prev, G, G_prev = carry
         yh = p.c1 * y + p.c2 * y_prev
         zh = p.c1 * z + p.c2 * z_prev
+        # Newton warm start: the solved base reaction from the previous
+        # step (reference fsolve warm start, knode.py:85-89), optionally
+        # linearly extrapolated across time (G varies smoothly under
+        # smooth controls, so 2G - G_prev starts closer to the new root)
+        G_guess = 2.0 * G - G_prev if extrapolate else G
         tf = jnp.einsum("t,tc->c", jnp.asarray(tensions, dtype),
                         jnp.asarray(p.tendon_dirs, dtype),
                         precision=jax.lax.Precision.HIGHEST)
@@ -133,23 +139,24 @@ def simulate_scan(
 
         if differentiable:
             from .shooting import implicit_root
-            G_new = implicit_root(res, G, tol=tol, max_iter=max_iter)
+            G_new = implicit_root(res, G_guess, tol=tol, max_iter=max_iter)
             r = res(jax.lax.stop_gradient(G_new))
             stats = NewtonStats(jnp.array(0, jnp.int32),
                                 jnp.sqrt(jnp.sum(r * r)),
                                 jnp.array(True))
         else:
-            G_new, stats = newton_solve(res, G, tol=tol, max_iter=max_iter)
+            G_new, stats = newton_solve(res, G_guess, tol=tol,
+                                        max_iter=max_iter)
         y_new, z_body = integrate(G_new)
 
         z_new = jnp.concatenate([z_body, z_tip[None]], axis=0)
         record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)  # (N, 50)
-        new_carry = (y_new, z_new, y, z, G_new)
+        new_carry = (y_new, z_new, y, z, G_new, G)
         return new_carry, (record, G_new, stats.iterations,
                            stats.residual_norm, stats.lm_retries)
 
     T = controls.shape[0]
-    carry0 = (y0, z0, y0, z0, G0)
+    carry0 = (y0, z0, y0, z0, G0, G0)
     body = jax.checkpoint(step) if remat else step
     # Integrate T-1 steps; the reference's T-th step is computed then dropped.
     _, (records, Gs, iters, res, lm) = lax.scan(body, carry0,
