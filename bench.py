@@ -145,7 +145,9 @@ def measure_extras(ref, golden_trajs, golden_ctls):
     from knode_cosserat_tpu.core.stepper import initial_state, simulate_scan
 
     on_cpu = jax.default_backend() == "cpu"
-    impl = "xla" if on_cpu else "pallas"
+    # mega = whole Newton shooting step in one kernel launch
+    # (ops/pallas_step.py) — the fastest fused path on TPU
+    impl = "xla" if on_cpu else "mega"
     extras = {}
     B, T = 256, 50
 
@@ -158,11 +160,11 @@ def measure_extras(ref, golden_trajs, golden_ctls):
     dt, _ = _timeit(xla, ctls)
     extras["rollout_xla_steps_per_sec_n10"] = round(B * (T - 1) / dt)
 
-    # --- fused rollouts (unrolled N=10, grid-pipelined N=40) ---
+    # --- fused rollouts (mega step kernel; block_b=256 measured best) ---
     for N in (10, 40):
         pN = experimental_rod(N=N, dtype=jnp.float32)
         fast = jax.jit(make_fast_rollout(pN, tol=1e-10,
-                                         block_b=512, impl=impl))
+                                         block_b=256, impl=impl))
         dt, compile_s = _timeit(fast, ctls)
         extras[f"rollout_fused_steps_per_sec_n{N}"] = round(B * (T - 1) / dt)
         extras[f"rollout_fused_compile_s_n{N}"] = round(compile_s, 1)

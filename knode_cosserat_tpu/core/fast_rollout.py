@@ -131,6 +131,29 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
     return step
 
 
+def _build_step_mega(p: RodParams, spec, block_b, tol, max_iter, n_alphas,
+                     interpret):
+    """Mega-kernel inner step (ops/pallas_step.py): the whole Newton
+    shooting solve in one pallas_call. Same signature as _build_step's."""
+    from ..ops.pallas_step import make_step_kernel
+    dtype = p.dtype
+    kstep = make_step_kernel(p, spec, block_b=block_b, tol=tol,
+                             max_iter=max_iter, n_alphas=n_alphas,
+                             interpret=interpret)
+
+    def inner(y, z, y_prev, z_prev, G, tensions, nn_params=None):
+        yh = p.c1 * y + p.c2 * y_prev
+        zh = p.c1 * z + p.c2 * z_prev
+        tf = jnp.einsum("rt,tc->rc", jnp.asarray(tensions, dtype),
+                        jnp.asarray(p.tendon_dirs, dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+        G_new, y_new, z_body, r2, iters = kstep(G, yh, zh, tf, nn_params)
+        z_new = jnp.concatenate([z_body, z[:, -1:, :]], axis=1)
+        return y_new, z_new, G_new, yh, zh, r2, iters
+
+    return inner
+
+
 def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
                    tol: float = 1e-12, max_iter: int = 30,
                    n_alphas: int = 7, block_b: int = 256,
@@ -139,11 +162,20 @@ def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
                    method: str = "euler"):
     """Single fused BDF-2 step (serving / control loops): fn(y, z, y_prev,
     z_prev, G, tensions, nn_params) -> (y_new, z_new, G_new, residual2,
-    iters). Batched over a leading rod axis."""
-    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
-                                   method)
-    inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
-                        jacobian_refresh, fd_order)
+    iters). Batched over a leading rod axis.
+
+    impl "mega" runs the whole Newton solve in one kernel launch
+    (Euler only) — the lowest-latency serving path."""
+    if impl == "mega":
+        if method != "euler":
+            raise NotImplementedError("mega kernel is Euler-only")
+        inner = _build_step_mega(p, spec, block_b, tol, max_iter, n_alphas,
+                                 interpret)
+    else:
+        k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
+                                       method)
+        inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
+                            jacobian_refresh, fd_order)
 
     def step(y, z, y_prev, z_prev, G, tensions, nn_params=None):
         y_new, z_new, G_new, _, _, r2, it = inner(
@@ -197,18 +229,26 @@ def make_fast_rollout(
 
     Output matches core.stepper.simulate_scan over a vmapped rod batch
     (same record layout, same dropped final step, same frozen tip-z).
-    impl: "pallas" (fused kernel) or "xla" (vmapped scan sweeps — same
-    driver, used for CPU validation).
+    impl: "pallas" (fused sweep kernels per Newton phase), "mega" (the
+    whole Newton shooting step in ONE kernel launch per time step —
+    ops/pallas_step.py; Euler, fd_order=1 semantics), or "xla" (vmapped
+    scan sweeps — same driver, used for CPU validation).
     jacobian_refresh: recompute the FD Jacobian every k-th iteration
     (chord/Shamanskii Newton). 1 = every iteration; higher values skip the
     probe launches on intermediate iterations — the residual stays exact,
     so converged roots are unchanged, only the path differs."""
     N = p.N
     dtype = p.dtype
-    k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
-                                   method)
-    inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
-                        jacobian_refresh, fd_order)
+    if impl == "mega":
+        if method != "euler":
+            raise NotImplementedError("mega kernel is Euler-only")
+        inner = _build_step_mega(p, spec, block_b, tol, max_iter, n_alphas,
+                                 interpret)
+    else:
+        k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
+                                       method)
+        inner = _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
+                            jacobian_refresh, fd_order)
 
     def rollout(controls, nn_params=None):
         controls = jnp.asarray(controls, dtype)

@@ -1,0 +1,366 @@
+"""Pallas TPU mega-kernel: one ENTIRE BDF-2 shooting step per launch.
+
+The fused rollout (core/fast_rollout.py + ops/pallas_sweep.py) still pays
+per-Newton-phase overhead: every iteration launches a Jacobian-probe sweep
+kernel and a line-search sweep kernel with XLA glue (6x6 solve, candidate
+selection) between them — ~6 launches plus dozens of tiny (R, 6) ops per
+time step. This kernel moves the whole damped-Newton shooting solve
+(knode.py:85-94's fsolve call, re-derived as in core/fast_rollout.py)
+inside ONE pallas_call:
+
+  r0 = sweep(G)
+  while any(active) and it < max_iter:          # in-kernel while_loop
+      J  = forward-difference Jacobian           # 6 in-kernel sweeps
+      dG = solve(J, -r)                          # lane-wise pivoted GE
+      backtracking line search over alphas       # n_alphas in-kernel sweeps
+      update active lanes; stall lanes with no improving alpha
+  final sweep records the full rod
+
+Layout matches pallas_sweep.py: state-major — components on sublanes,
+the rod batch on LANES — so every 3-vector op is a full-width VPU op and
+the MLP is an MXU matmul per node. Node history slabs are padded to
+_YR/_ZR rows so in-kernel ``pl.ds`` slices stay 8-row aligned, and the
+spatial loop is a ``fori_loop`` (compiled once, any N).
+
+The 6x6 solve per lane: rows are (1, TB) vectors; partial pivoting is
+bubble-max — for column k, lane-wise swap row k with any row below it
+that has a larger |A[:, k]| (whole-row jnp.where swaps keep every lane's
+permutation consistent). Elimination/back-substitution are plain VPU ops.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..core.params import RodParams
+from ..models.mlp import MLPSpec
+from .pallas_sweep import _YR, _ZR, _activation_rows, _c3, _cross, _matvec3
+
+__all__ = ["make_step_kernel"]
+
+
+def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
+                     block_b: int = 256, tol: float = 1e-10,
+                     max_iter: int = 30, n_alphas: int = 7,
+                     interpret: bool = False):
+    """Build fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3), nn_params|None)
+    -> (G_new (B,6), y (B,N,19), z (B,N-1,6), r2 (B,), iters (B,)).
+
+    Semantics match core/fast_rollout._build_step with fd_order=1 and
+    jacobian_refresh=1: damped Newton with backtracking alphas 0.5**k,
+    first-improving-alpha selection, per-lane stall detection.
+    """
+    N = p.N
+    f = lambda v: float(np.asarray(v))
+    dtype = p.dtype
+    eps0 = 1e-8 if dtype == jnp.float64 else 3e-4   # fd_order=1 step
+    Kse_inv = _c3(p.Kse_c0Bse_inv)
+    Kbt_inv = _c3(p.Kbt_c0Bbt_inv)
+    Bse = _c3(p.Bse)
+    Bbt = _c3(p.Bbt)
+    rhoJ = _c3(p.rhoJ)
+    v_rest = tuple(float(x) for x in np.asarray(p.v_rest))
+    rhoAg = tuple(float(x) for x in np.asarray(p.rhoAg))
+    Cdrag = tuple(float(x) for x in np.asarray(p.C))
+    p0 = tuple(float(x) for x in np.asarray(p.p0))
+    h0 = tuple(float(x) for x in np.asarray(p.h0))
+    q0 = tuple(float(x) for x in np.asarray(p.q0))
+    w0 = tuple(float(x) for x in np.asarray(p.w0))
+    F_tip = tuple(float(x) for x in np.asarray(p.F_tip))
+    M_tip = tuple(float(x) for x in np.asarray(p.M_tip))
+    c0 = f(p.c0)
+    rhoA = f(p.rhoA)
+    ds = f(p.ds)
+    use_nn = spec is not None
+    n_layers = len(spec.dims) - 1 if use_nn else 0
+    act = _activation_rows(spec.activation) if use_nn else None
+    alphas = [0.5 ** k for k in range(n_alphas)]
+
+    def rhs_rows(y, yh_j, zh_j, tf, w_refs):
+        """Same physics as pallas_sweep.rhs_rows, on (1, TB) rows with the
+        padded (_YR/_ZR, TB) node slabs."""
+        h = y[3:7]
+        n = y[7:10]
+        m = y[10:13]
+        q = y[13:16]
+        w = y[16:19]
+        vh = [zh_j[i:i + 1, :] for i in range(3)]
+        uh = [zh_j[i:i + 1, :] for i in range(3, 6)]
+
+        h1, h2, h3, h4 = h
+        hh = h1 * h1 + h2 * h2 + h3 * h3 + h4 * h4
+        s = 2.0 / hh
+        R = [[1.0 + s * (-h3 * h3 - h4 * h4), s * (h2 * h3 - h4 * h1),
+              s * (h2 * h4 + h3 * h1)],
+             [s * (h2 * h3 + h4 * h1), 1.0 + s * (-h2 * h2 - h4 * h4),
+              s * (h3 * h4 - h2 * h1)],
+             [s * (h2 * h4 - h3 * h1), s * (h3 * h4 + h2 * h1),
+              1.0 + s * (-h2 * h2 - h3 * h3)]]
+        Rt_ = lambda x: [R[0][i] * x[0] + R[1][i] * x[1] + R[2][i] * x[2]
+                         for i in range(3)]
+        R_ = lambda x: [R[i][0] * x[0] + R[i][1] * x[1] + R[i][2] * x[2]
+                        for i in range(3)]
+
+        Rtn = Rt_(n)
+        Bse_vh = _matvec3(Bse, vh)
+        v = _matvec3(Kse_inv, [Rtn[i] - Bse_vh[i] for i in range(3)])
+        v = [v[i] + v_rest[i] for i in range(3)]
+        Rtm = Rt_(m)
+        Bbt_uh = _matvec3(Bbt, uh)
+        u = _matvec3(Kbt_inv, [Rtm[i] - Bbt_uh[i] for i in range(3)])
+
+        vt = [c0 * v[i] + vh[i] for i in range(3)]
+        ut = [c0 * u[i] + uh[i] for i in range(3)]
+        qt = [c0 * q[i] + yh_j[13 + i:14 + i, :] for i in range(3)]
+        wt = [c0 * w[i] + yh_j[16 + i:17 + i, :] for i in range(3)]
+
+        drag = [Cdrag[i] * q[i] * jnp.abs(q[i]) for i in range(3)]
+        Rdrag = R_(drag)
+        fb = [rhoAg[i] - Rdrag[i] + tf[i] for i in range(3)]
+
+        ps = R_(v)
+        wxq = _cross(w, q)
+        ns = [rhoA * x - fb[i]
+              for i, x in enumerate(R_([wxq[i] + qt[i] for i in range(3)]))]
+        rJw = _matvec3(rhoJ, w)
+        rJwt = _matvec3(rhoJ, wt)
+        wxrJw = _cross(w, rJw)
+        Rm = R_([wxrJw[i] + rJwt[i] for i in range(3)])
+        psxn = _cross(ps, n)
+        ms = [Rm[i] - psxn[i] for i in range(3)]
+        uxq = _cross(u, q)
+        wxv = _cross(w, v)
+        qs = [vt[i] - uxq[i] + wxv[i] for i in range(3)]
+        uxw = _cross(u, w)
+        ws = [ut[i] - uxw[i] for i in range(3)]
+        u1, u2, u3 = u
+        hs = [0.5 * (-u1 * h2 - u2 * h3 - u3 * h4),
+              0.5 * (u1 * h1 + u3 * h3 - u2 * h4),
+              0.5 * (u2 * h1 - u3 * h2 + u1 * h4),
+              0.5 * (u3 * h1 + u2 * h2 - u1 * h3)]
+
+        dy = ps + hs + ns + ms + qs + ws
+        z = v + u
+
+        if use_nn:
+            if spec.history:
+                parts = y + [yh_j[0:19, :]] + z + [zh_j[0:6, :]] + tf
+            else:
+                parts = y + z + tf
+            x = jnp.concatenate(parts, axis=0)
+            for l in range(n_layers):
+                w_ref, b_ref = w_refs[2 * l], w_refs[2 * l + 1]
+                x = jnp.dot(w_ref[:], x,
+                            preferred_element_type=x.dtype) + b_ref[:]
+                if l < n_layers - 1:
+                    x = act(x)
+            dy = [dy[i] + x[i:i + 1, :] for i in range(19)]
+            z = [z[i] + x[19 + i:20 + i, :] for i in range(6)]
+        return dy, z
+
+    def base_rows(G6, TB):
+        const_row = lambda c: jnp.full((1, TB), c, dtype)
+        return ([const_row(p0[i]) for i in range(3)]
+                + [const_row(h0[i]) for i in range(4)]
+                + G6
+                + [const_row(q0[i]) for i in range(3)]
+                + [const_row(w0[i]) for i in range(3)])
+
+    def solve6(J, b):
+        """Lane-wise solve of the 6x6 systems: J is a list of 6 rows, each
+        a list of 6 (1, TB) lane-vectors (J[i][k] = dr_i/dG_k); b is a list
+        of 6 (1, TB) vectors. Gaussian elimination with lane-wise bubble-max
+        partial pivoting. Returns x (list of 6 rows). Non-finite or
+        zero-pivot lanes produce garbage here; the caller masks dG by
+        isfinite (matching core/fast_rollout._build_step)."""
+        A = [[J[i][k] for k in range(6)] for i in range(6)]
+        b = list(b)
+        for k in range(6):
+            # bubble-max pivot: after this, row k holds the max |A[:, k]|
+            for j in range(k + 1, 6):
+                better = jnp.abs(A[j][k]) > jnp.abs(A[k][k])
+                for c in range(6):
+                    ak, aj = A[k][c], A[j][c]
+                    A[k][c] = jnp.where(better, aj, ak)
+                    A[j][c] = jnp.where(better, ak, aj)
+                bk, bj = b[k], b[j]
+                b[k] = jnp.where(better, bj, bk)
+                b[j] = jnp.where(better, bk, bj)
+            inv_p = 1.0 / A[k][k]
+            for j in range(k + 1, 6):
+                factor = A[j][k] * inv_p
+                for c in range(k, 6):
+                    A[j][c] = A[j][c] - factor * A[k][c]
+                b[j] = b[j] - factor * b[k]
+        x = [None] * 6
+        for k in range(5, -1, -1):
+            rhs = b[k]
+            for c in range(k + 1, 6):
+                rhs = rhs - A[k][c] * x[c]
+            x[k] = rhs / A[k][k]
+        return x
+
+    def kernel(*refs):
+        G_ref, yh_ref, zh_ref, tf_ref, *rest = refs
+        if use_nn:
+            w_refs = tuple(rest[:2 * n_layers])
+            rest = rest[2 * n_layers:]
+        else:
+            w_refs = None
+        Gout_ref, y_ref, z_ref, r2_ref, it_ref = rest
+
+        TB = G_ref.shape[1]
+        tf = [tf_ref[i:i + 1, :] for i in range(3)]
+
+        def sweep_res(G6):
+            """Base->tip Euler sweep from base reaction rows G6 (list of 6
+            (1, TB)); returns the 6 tip-residual rows as one (6, TB)."""
+            y0 = jnp.concatenate(base_rows(G6, TB), axis=0)  # (19, TB)
+
+            def body(j, y):
+                yh_j = yh_ref[pl.ds(j * _YR, _YR), :]
+                zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :]
+                rows = [y[i:i + 1, :] for i in range(19)]
+                dy, _ = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
+                return jnp.concatenate(
+                    [y[i:i + 1, :] + ds * dy[i] for i in range(19)], axis=0)
+
+            yN = jax.lax.fori_loop(0, N - 1, body, y0)
+            res = [F_tip[i] - yN[7 + i:8 + i, :] for i in range(3)] + \
+                  [M_tip[i] - yN[10 + i:11 + i, :] for i in range(3)]
+            return jnp.concatenate(res, axis=0)             # (6, TB)
+
+        G = G_ref[0:6, :]                                    # (6, TB)
+        r = sweep_res([G[i:i + 1, :] for i in range(6)])
+        r2 = jnp.sum(r * r, axis=0, keepdims=True)           # (1, TB)
+        # the stall mask is carried as f32 (1.0 = stalled): Mosaic cannot
+        # legalize i1 vectors through scf.while yields
+        stalled_f = jnp.zeros((1, TB), dtype)
+        it = jnp.zeros((), jnp.int32)
+
+        def cond(state):
+            G, r, r2, stalled_f, it = state
+            active = (r2 > tol) & (stalled_f < 0.5)
+            return jnp.any(active) & (it < max_iter)
+
+        def newton_body(state):
+            G, r, r2, stalled_f, it = state
+            active = (r2 > tol) & (stalled_f < 0.5)
+
+            # --- forward-difference Jacobian: 6 probe sweeps ----------
+            # J[i][k] = (r(G + h_k e_k)_i - r_i) / h_k
+            J = [[None] * 6 for _ in range(6)]
+            for k in range(6):
+                h_k = eps0 * (1.0 + jnp.abs(G[k:k + 1, :]))   # (1, TB)
+                Gp = [G[i:i + 1, :] + (h_k if i == k else 0.0)
+                      for i in range(6)]
+                r_p = sweep_res(Gp)
+                for i in range(6):
+                    J[i][k] = (r_p[i:i + 1, :] - r[i:i + 1, :]) / h_k
+
+            dG = solve6(J, [-r[i:i + 1, :] for i in range(6)])
+            fin = jnp.ones((1, TB), jnp.bool_)
+            for i in range(6):
+                fin = fin & jnp.isfinite(dG[i])
+            dG = [jnp.where(fin, dG[i], 0.0) for i in range(6)]
+
+            # --- backtracking line search: first improving alpha ------
+            found = jnp.zeros((1, TB), jnp.bool_)
+            G_best = G
+            r_best = r
+            r2_best = r2
+            for a in alphas:
+                Gc = [G[i:i + 1, :] + a * dG[i] for i in range(6)]
+                r_c = sweep_res(Gc)
+                r2_c = jnp.sum(r_c * r_c, axis=0, keepdims=True)
+                improves = (r2_c < r2) & (~found)
+                take = improves & active
+                G_best = jnp.where(take, jnp.concatenate(Gc, axis=0), G_best)
+                r_best = jnp.where(take, r_c, r_best)
+                r2_best = jnp.where(take, r2_c, r2_best)
+                found = found | improves
+
+            stalled_f = jnp.maximum(
+                stalled_f, jnp.where(active & (~found), 1.0, 0.0))
+            return (G_best, r_best, r2_best, stalled_f, it + 1)
+
+        G, r, r2, stalled_f, it = jax.lax.while_loop(
+            cond, newton_body, (G, r, r2, stalled_f, it))
+
+        # --- final recording sweep at the solved G --------------------
+        G6 = [G[i:i + 1, :] for i in range(6)]
+        y0 = jnp.concatenate(base_rows(G6, TB), axis=0)
+        pad_y = jnp.zeros((_YR - 19, TB), dtype)
+        y_ref[pl.ds(0, _YR), :] = jnp.concatenate([y0, pad_y], axis=0)
+
+        def rec_body(j, y):
+            yh_j = yh_ref[pl.ds(j * _YR, _YR), :]
+            zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :]
+            rows = [y[i:i + 1, :] for i in range(19)]
+            dy, z = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
+            y_new = jnp.concatenate(
+                [y[i:i + 1, :] + ds * dy[i] for i in range(19)], axis=0)
+            y_ref[pl.ds((j + 1) * _YR, _YR), :] = jnp.concatenate(
+                [y_new, pad_y], axis=0)
+            z_ref[pl.ds(j * _ZR, _ZR), :] = jnp.concatenate(
+                z + [jnp.zeros((_ZR - 6, TB), dtype)], axis=0)
+            return y_new
+
+        jax.lax.fori_loop(0, N - 1, rec_body, y0)
+        Gout_ref[:] = G
+        r2_ref[:] = r2
+        it_ref[:] = jnp.full((1, TB), it, jnp.int32)
+
+    def step(G, yh, zh, tf, nn_params=None):
+        B = G.shape[0]
+        dt = G.dtype
+        TB = block_b
+        Bp = ((B + TB - 1) // TB) * TB
+
+        Gt = jnp.pad(G, ((0, Bp - B), (0, 0))).T              # (6, Bp)
+        yhtp = jnp.pad(yh, ((0, Bp - B), (0, 0), (0, _YR - 19))
+                       ).reshape(Bp, N * _YR).T               # (N*_YR, Bp)
+        zhtp = jnp.pad(zh, ((0, Bp - B), (0, 0), (0, _ZR - 6))
+                       ).reshape(Bp, N * _ZR).T
+        tft = jnp.pad(tf, ((0, Bp - B), (0, 0))).T            # (3, Bp)
+        vmem = pltpu.VMEM
+        bspec = lambda rows: pl.BlockSpec((rows, TB), lambda i: (0, i),
+                                          memory_space=vmem)
+        in_specs = [bspec(6), bspec(N * _YR), bspec(N * _ZR), bspec(3)]
+        args = [Gt, yhtp, zhtp, tft]
+        if use_nn:
+            for l in range(n_layers):
+                w = nn_params[l]["w"]
+                b = nn_params[l]["b"][:, None]
+                for a in (w, b):
+                    args.append(a)
+                    in_specs.append(pl.BlockSpec(
+                        a.shape, lambda i: (0, 0), memory_space=vmem))
+
+        out_shape = [jax.ShapeDtypeStruct((6, Bp), dt),
+                     jax.ShapeDtypeStruct((N * _YR, Bp), dt),
+                     jax.ShapeDtypeStruct(((N - 1) * _ZR, Bp), dt),
+                     jax.ShapeDtypeStruct((1, Bp), dt),
+                     jax.ShapeDtypeStruct((1, Bp), jnp.int32)]
+        out_specs = [bspec(6), bspec(N * _YR), bspec((N - 1) * _ZR),
+                     bspec(1), bspec(1)]
+
+        outs = pl.pallas_call(
+            kernel,
+            grid=(Bp // TB,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(*args)
+        G_new = outs[0].T[:B]
+        y_out = outs[1].T[:B].reshape(B, N, _YR)[:, :, :19]
+        z_out = outs[2].T[:B].reshape(B, N - 1, _ZR)[:, :, :6]
+        r2 = outs[3].T[:B, 0]
+        iters = outs[4].T[:B, 0]
+        return G_new, y_out, z_out, r2, iters
+
+    return step

@@ -64,7 +64,7 @@ class CompiledStepper:
             # lower step latency than the scan path on TPU
             from .core.fast_rollout import make_fast_step
             impl = fast_impl or ("xla" if jax.default_backend() == "cpu"
-                                 else "pallas")
+                                 else "mega")
             inner = make_fast_step(p, spec, tol=tol, max_iter=max_iter,
                                    impl=impl)
 
@@ -84,7 +84,9 @@ class CompiledStepper:
                 nn_fn = bind(spec, nn_params) if spec is not None else None
                 yh = p.c1 * y + p.c2 * y_prev
                 zh = p.c1 * z + p.c2 * z_prev
-                tf = tensions @ p.tendon_dirs
+                tf = jnp.einsum("t,tc->c", tensions,
+                                jnp.asarray(p.tendon_dirs, tensions.dtype),
+                                precision=jax.lax.Precision.HIGHEST)
 
                 def res(Gx):
                     yi, _ = integrate_euler(p, Gx, yh, zh, tf, nn_fn)

@@ -120,3 +120,57 @@ def test_fast_rollout_rk4_driver_matches_simulate_scan():
                                    method="rk4").traj)
     np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
                                atol=5e-10)
+
+
+def test_mega_step_rollout_matches_simulate_scan():
+    """The mega kernel (whole Newton shooting step in ONE pallas_call,
+    ops/pallas_step.py) reproduces the autodiff-Jacobian scan rollout.
+    Interpret mode on CPU; TPU timing in scripts/bench_fast_rollout.py."""
+    p = apply_mod(None)
+    roll = jax.jit(make_fast_rollout(p, tol=1e-18, impl="mega", block_b=8,
+                                     interpret=True))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 8),
+                     calc_controls("step", 1.0, float(p.del_t), 8)])
+    traj, res, iters = roll(jnp.asarray(ctls))
+    assert traj.shape == (2, 8, p.N, 50)
+    assert float(jnp.max(res)) < 1e-6
+    for i in range(2):
+        ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[i])).traj)
+        # forward-difference (fd1) Jacobian stalls the line search a hair
+        # earlier than the central-difference driver: ~1e-8 floor
+        np.testing.assert_allclose(np.asarray(traj[i]), ref, rtol=1e-7,
+                                   atol=2e-8)
+
+
+def test_mega_step_rollout_hybrid():
+    """mega kernel with the KNODE MLP residual active."""
+    p = apply_mod("nsw")
+    spec = MLPSpec.for_knode(8)
+    params = jax.tree.map(lambda x: x * 1e-3,
+                          init_mlp(spec, jax.random.PRNGKey(0), jnp.float64))
+    roll = jax.jit(make_fast_rollout(p, spec=spec, tol=1e-18, impl="mega",
+                                     block_b=8, interpret=True))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 6)])
+    traj, res, iters = roll(jnp.asarray(ctls), params)
+    ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[0]),
+                                   nn_fn=bind(spec, params)).traj)
+    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
+                               atol=1e-10)
+
+
+def test_mega_step_rollout_history_net():
+    """mega kernel with the 53-input history variant
+    (cosserat_ode.py:171-175)."""
+    p = apply_mod("nsw")
+    spec = MLPSpec.for_knode(8, history=True)
+    params = jax.tree.map(lambda x: x * 1e-3,
+                          init_mlp(spec, jax.random.PRNGKey(1), jnp.float64))
+    roll = jax.jit(make_fast_rollout(p, spec=spec, tol=1e-18, impl="mega",
+                                     block_b=8, interpret=True))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 6)])
+    traj, res, iters = roll(jnp.asarray(ctls), params)
+    ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[0]),
+                                   nn_fn=bind(spec, params),
+                                   nn_history=True).traj)
+    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
+                               atol=1e-10)
