@@ -132,7 +132,7 @@ def cmd_simulate(args):
         on_cpu = jax.default_backend() == "cpu"
         # pallas compiles only on TPU; CPU falls back to the same FD-Newton
         # driver over XLA sweeps
-        roll = jax.jit(make_fast_rollout(p, impl="xla" if on_cpu else "pallas"))
+        roll = jax.jit(make_fast_rollout(p, impl="xla" if on_cpu else "mega"))
         traj3, _, _ = roll(jnp.asarray(controls, p.dtype)[None])
         traj = np.asarray(traj3[0])
     else:

@@ -6,4 +6,4 @@ from .spatial import (integrate_euler, integrate_rk4, residual_euler,
                       tip_residual)
 from .shooting import newton_solve, implicit_root, NewtonStats
 from .stepper import simulate, simulate_scan, initial_state, SimOutput
-from .fast_rollout import make_fast_rollout
+from .fast_rollout import make_fast_rollout, make_fast_step

@@ -1,2 +1,6 @@
 from .quaternion import (quat_to_rotmat, quat_spatial_derivative,
                          quaternion_to_euler, pairwise_angular_velocity)
+from .dtw import batch_dtw_device, dtw_device, tip_dtw_device
+from .linalg import solve_small, solve_spd_small
+from .pallas_sweep import make_sweep_kernel
+from .pallas_step import make_step_kernel
