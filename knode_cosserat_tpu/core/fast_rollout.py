@@ -132,14 +132,14 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
 
 
 def _build_step_mega(p: RodParams, spec, block_b, tol, max_iter, n_alphas,
-                     interpret):
+                     interpret, method="euler"):
     """Mega-kernel inner step (ops/pallas_step.py): the whole Newton
     shooting solve in one pallas_call. Same signature as _build_step's."""
     from ..ops.pallas_step import make_step_kernel
     dtype = p.dtype
     kstep = make_step_kernel(p, spec, block_b=block_b, tol=tol,
                              max_iter=max_iter, n_alphas=n_alphas,
-                             interpret=interpret)
+                             interpret=interpret, method=method)
 
     def inner(y, z, y_prev, z_prev, G, tensions, nn_params=None):
         yh = p.c1 * y + p.c2 * y_prev
@@ -164,13 +164,11 @@ def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
     z_prev, G, tensions, nn_params) -> (y_new, z_new, G_new, residual2,
     iters). Batched over a leading rod axis.
 
-    impl "mega" runs the whole Newton solve in one kernel launch
-    (Euler only) — the lowest-latency serving path."""
+    impl "mega" runs the whole Newton solve in one kernel launch —
+    the lowest-latency serving path."""
     if impl == "mega":
-        if method != "euler":
-            raise NotImplementedError("mega kernel is Euler-only")
         inner = _build_step_mega(p, spec, block_b, tol, max_iter, n_alphas,
-                                 interpret)
+                                 interpret, method=method)
     else:
         k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
                                        method)
@@ -231,7 +229,7 @@ def make_fast_rollout(
     (same record layout, same dropped final step, same frozen tip-z).
     impl: "pallas" (fused sweep kernels per Newton phase), "mega" (the
     whole Newton shooting step in ONE kernel launch per time step —
-    ops/pallas_step.py; Euler, fd_order=1 semantics), or "xla" (vmapped
+    ops/pallas_step.py; euler or rk4, fd_order=1 semantics), or "xla" (vmapped
     scan sweeps — same driver, used for CPU validation).
     jacobian_refresh: recompute the FD Jacobian every k-th iteration
     (chord/Shamanskii Newton). 1 = every iteration; higher values skip the
@@ -240,10 +238,8 @@ def make_fast_rollout(
     N = p.N
     dtype = p.dtype
     if impl == "mega":
-        if method != "euler":
-            raise NotImplementedError("mega kernel is Euler-only")
         inner = _build_step_mega(p, spec, block_b, tol, max_iter, n_alphas,
-                                 interpret)
+                                 interpret, method=method)
     else:
         k_res, k_full = _build_kernels(p, spec, block_b, interpret, impl,
                                        method)

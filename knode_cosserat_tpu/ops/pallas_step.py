@@ -45,14 +45,19 @@ __all__ = ["make_step_kernel"]
 def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
                      block_b: int = 256, tol: float = 1e-10,
                      max_iter: int = 30, n_alphas: int = 7,
-                     interpret: bool = False):
+                     interpret: bool = False, method: str = "euler"):
     """Build fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3), nn_params|None)
     -> (G_new (B,6), y (B,N,19), z (B,N-1,6), r2 (B,), iters (B,)).
 
     Semantics match core/fast_rollout._build_step with fd_order=1 and
     jacobian_refresh=1: damped Newton with backtracking alphas 0.5**k,
     first-improving-alpha selection, per-lane stall detection.
+
+    method: "euler" (reference spatial order) or "rk4"
+    (cosserat_ode.py:222-242 with linear history midpoints, knode.py:80-81).
     """
+    if method not in ("euler", "rk4"):
+        raise ValueError(method)
     N = p.N
     f = lambda v: float(np.asarray(v))
     dtype = p.dtype
@@ -77,7 +82,6 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
     use_nn = spec is not None
     n_layers = len(spec.dims) - 1 if use_nn else 0
     act = _activation_rows(spec.activation) if use_nn else None
-    alphas = [0.5 ** k for k in range(n_alphas)]
 
     def rhs_rows(y, yh_j, zh_j, tf, w_refs):
         """Same physics as pallas_sweep.rhs_rows, on (1, TB) rows with the
@@ -215,18 +219,39 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
         TB = G_ref.shape[1]
         tf = [tf_ref[i:i + 1, :] for i in range(3)]
 
+        def node_update(j, y):
+            """One spatial step at node j from the (19, TB) state: returns
+            (y_next (19, TB), z rows at node j)."""
+            yh_j = yh_ref[pl.ds(j * _YR, _YR), :]
+            zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :]
+            rows = [y[i:i + 1, :] for i in range(19)]
+            if method == "euler":
+                dy, z = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
+                y_new = [rows[i] + ds * dy[i] for i in range(19)]
+            else:
+                yh_j1 = yh_ref[pl.ds((j + 1) * _YR, _YR), :]
+                zh_j1 = zh_ref[pl.ds((j + 1) * _ZR, _ZR), :]
+                yh_m = 0.5 * (yh_j + yh_j1)   # linear history midpoints
+                zh_m = 0.5 * (zh_j + zh_j1)   # (knode.py:80-81)
+                k1, z = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
+                y2 = [rows[i] + (ds / 2) * k1[i] for i in range(19)]
+                k2, _ = rhs_rows(y2, yh_m, zh_m, tf, w_refs)
+                y3 = [rows[i] + (ds / 2) * k2[i] for i in range(19)]
+                k3, _ = rhs_rows(y3, yh_m, zh_m, tf, w_refs)
+                y4 = [rows[i] + ds * k3[i] for i in range(19)]
+                k4, _ = rhs_rows(y4, yh_j1, zh_j1, tf, w_refs)
+                y_new = [rows[i] + (ds / 6.0) * (k1[i] + 2 * (k2[i] + k3[i])
+                                                 + k4[i]) for i in range(19)]
+            return jnp.concatenate(y_new, axis=0), z
+
         def sweep_res(G6):
-            """Base->tip Euler sweep from base reaction rows G6 (list of 6
+            """Base->tip sweep from base reaction rows G6 (list of 6
             (1, TB)); returns the 6 tip-residual rows as one (6, TB)."""
             y0 = jnp.concatenate(base_rows(G6, TB), axis=0)  # (19, TB)
 
             def body(j, y):
-                yh_j = yh_ref[pl.ds(j * _YR, _YR), :]
-                zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :]
-                rows = [y[i:i + 1, :] for i in range(19)]
-                dy, _ = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
-                return jnp.concatenate(
-                    [y[i:i + 1, :] + ds * dy[i] for i in range(19)], axis=0)
+                y_new, _ = node_update(j, y)
+                return y_new
 
             yN = jax.lax.fori_loop(0, N - 1, body, y0)
             res = [F_tip[i] - yN[7 + i:8 + i, :] for i in range(3)] + \
@@ -268,23 +293,31 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
             dG = [jnp.where(fin, dG[i], 0.0) for i in range(6)]
 
             # --- backtracking line search: first improving alpha ------
-            found = jnp.zeros((1, TB), jnp.bool_)
-            G_best = G
-            r_best = r
-            r2_best = r2
-            for a in alphas:
+            # fori (not an unrolled python loop) keeps the sweep body
+            # inlined only once here — compile time stays flat in
+            # n_alphas; found mask carried as f32 (i1 yield restriction)
+            def ls_body(k, ls):
+                G_best, r_best, r2_best, found_f = ls
+                a = jnp.exp2(-k.astype(dtype))               # 0.5**k
                 Gc = [G[i:i + 1, :] + a * dG[i] for i in range(6)]
                 r_c = sweep_res(Gc)
                 r2_c = jnp.sum(r_c * r_c, axis=0, keepdims=True)
-                improves = (r2_c < r2) & (~found)
+                improves = (r2_c < r2) & (found_f < 0.5)
                 take = improves & active
-                G_best = jnp.where(take, jnp.concatenate(Gc, axis=0), G_best)
+                G_best = jnp.where(take, jnp.concatenate(Gc, axis=0),
+                                   G_best)
                 r_best = jnp.where(take, r_c, r_best)
                 r2_best = jnp.where(take, r2_c, r2_best)
-                found = found | improves
+                found_f = jnp.maximum(found_f,
+                                      jnp.where(improves, 1.0, 0.0))
+                return (G_best, r_best, r2_best, found_f)
+
+            G_best, r_best, r2_best, found_f = jax.lax.fori_loop(
+                0, n_alphas, ls_body,
+                (G, r, r2, jnp.zeros((1, TB), dtype)))
 
             stalled_f = jnp.maximum(
-                stalled_f, jnp.where(active & (~found), 1.0, 0.0))
+                stalled_f, jnp.where(active & (found_f < 0.5), 1.0, 0.0))
             return (G_best, r_best, r2_best, stalled_f, it + 1)
 
         G, r, r2, stalled_f, it = jax.lax.while_loop(
@@ -297,12 +330,7 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
         y_ref[pl.ds(0, _YR), :] = jnp.concatenate([y0, pad_y], axis=0)
 
         def rec_body(j, y):
-            yh_j = yh_ref[pl.ds(j * _YR, _YR), :]
-            zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :]
-            rows = [y[i:i + 1, :] for i in range(19)]
-            dy, z = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
-            y_new = jnp.concatenate(
-                [y[i:i + 1, :] + ds * dy[i] for i in range(19)], axis=0)
+            y_new, z = node_update(j, y)
             y_ref[pl.ds((j + 1) * _YR, _YR), :] = jnp.concatenate(
                 [y_new, pad_y], axis=0)
             z_ref[pl.ds(j * _ZR, _ZR), :] = jnp.concatenate(

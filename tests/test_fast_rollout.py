@@ -174,3 +174,17 @@ def test_mega_step_rollout_history_net():
                                    nn_history=True).traj)
     np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-9,
                                atol=1e-10)
+
+
+def test_mega_step_rollout_rk4():
+    """mega kernel with in-kernel RK4 spatial integration matches the
+    RK4 scan rollout (history midpoints per knode.py:80-81)."""
+    p = apply_mod(None)
+    roll = jax.jit(make_fast_rollout(p, tol=1e-18, impl="mega", block_b=8,
+                                     interpret=True, method="rk4"))
+    ctls = np.stack([calc_controls("sine", 1.0, float(p.del_t), 6)])
+    traj, res, iters = roll(jnp.asarray(ctls))
+    ref = np.asarray(simulate_scan(p, jnp.asarray(ctls[0]),
+                                   method="rk4").traj)
+    np.testing.assert_allclose(np.asarray(traj[0]), ref, rtol=1e-6,
+                               atol=1e-7)
