@@ -165,7 +165,9 @@ def make_fast_step(p: RodParams, spec: Optional[MLPSpec] = None,
     iters). Batched over a leading rod axis.
 
     impl "mega" runs the whole Newton solve in one kernel launch —
-    the lowest-latency serving path."""
+    the lowest-latency serving path. NOTE: the mega kernel always uses
+    forward-difference Jacobians refreshed every iteration; the fd_order
+    and jacobian_refresh arguments apply only to impl "pallas"/"xla"."""
     if impl == "mega":
         inner = _build_step_mega(p, spec, block_b, tol, max_iter, n_alphas,
                                  interpret, method=method)

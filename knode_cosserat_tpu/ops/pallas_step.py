@@ -37,7 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..core.params import RodParams
 from ..models.mlp import MLPSpec
-from .pallas_sweep import _YR, _ZR, _activation_rows, _c3, _cross, _matvec3
+from .pallas_sweep import _YR, _ZR, make_rhs_rows
 
 __all__ = ["make_step_kernel"]
 
@@ -62,108 +62,18 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
     f = lambda v: float(np.asarray(v))
     dtype = p.dtype
     eps0 = 1e-8 if dtype == jnp.float64 else 3e-4   # fd_order=1 step
-    Kse_inv = _c3(p.Kse_c0Bse_inv)
-    Kbt_inv = _c3(p.Kbt_c0Bbt_inv)
-    Bse = _c3(p.Bse)
-    Bbt = _c3(p.Bbt)
-    rhoJ = _c3(p.rhoJ)
-    v_rest = tuple(float(x) for x in np.asarray(p.v_rest))
-    rhoAg = tuple(float(x) for x in np.asarray(p.rhoAg))
-    Cdrag = tuple(float(x) for x in np.asarray(p.C))
     p0 = tuple(float(x) for x in np.asarray(p.p0))
     h0 = tuple(float(x) for x in np.asarray(p.h0))
     q0 = tuple(float(x) for x in np.asarray(p.q0))
     w0 = tuple(float(x) for x in np.asarray(p.w0))
     F_tip = tuple(float(x) for x in np.asarray(p.F_tip))
     M_tip = tuple(float(x) for x in np.asarray(p.M_tip))
-    c0 = f(p.c0)
-    rhoA = f(p.rhoA)
     ds = f(p.ds)
     use_nn = spec is not None
     n_layers = len(spec.dims) - 1 if use_nn else 0
-    act = _activation_rows(spec.activation) if use_nn else None
+    rhs_rows = make_rhs_rows(p, spec)   # the ONE shared physics body
 
-    def rhs_rows(y, yh_j, zh_j, tf, w_refs):
-        """Same physics as pallas_sweep.rhs_rows, on (1, TB) rows with the
-        padded (_YR/_ZR, TB) node slabs."""
-        h = y[3:7]
-        n = y[7:10]
-        m = y[10:13]
-        q = y[13:16]
-        w = y[16:19]
-        vh = [zh_j[i:i + 1, :] for i in range(3)]
-        uh = [zh_j[i:i + 1, :] for i in range(3, 6)]
 
-        h1, h2, h3, h4 = h
-        hh = h1 * h1 + h2 * h2 + h3 * h3 + h4 * h4
-        s = 2.0 / hh
-        R = [[1.0 + s * (-h3 * h3 - h4 * h4), s * (h2 * h3 - h4 * h1),
-              s * (h2 * h4 + h3 * h1)],
-             [s * (h2 * h3 + h4 * h1), 1.0 + s * (-h2 * h2 - h4 * h4),
-              s * (h3 * h4 - h2 * h1)],
-             [s * (h2 * h4 - h3 * h1), s * (h3 * h4 + h2 * h1),
-              1.0 + s * (-h2 * h2 - h3 * h3)]]
-        Rt_ = lambda x: [R[0][i] * x[0] + R[1][i] * x[1] + R[2][i] * x[2]
-                         for i in range(3)]
-        R_ = lambda x: [R[i][0] * x[0] + R[i][1] * x[1] + R[i][2] * x[2]
-                        for i in range(3)]
-
-        Rtn = Rt_(n)
-        Bse_vh = _matvec3(Bse, vh)
-        v = _matvec3(Kse_inv, [Rtn[i] - Bse_vh[i] for i in range(3)])
-        v = [v[i] + v_rest[i] for i in range(3)]
-        Rtm = Rt_(m)
-        Bbt_uh = _matvec3(Bbt, uh)
-        u = _matvec3(Kbt_inv, [Rtm[i] - Bbt_uh[i] for i in range(3)])
-
-        vt = [c0 * v[i] + vh[i] for i in range(3)]
-        ut = [c0 * u[i] + uh[i] for i in range(3)]
-        qt = [c0 * q[i] + yh_j[13 + i:14 + i, :] for i in range(3)]
-        wt = [c0 * w[i] + yh_j[16 + i:17 + i, :] for i in range(3)]
-
-        drag = [Cdrag[i] * q[i] * jnp.abs(q[i]) for i in range(3)]
-        Rdrag = R_(drag)
-        fb = [rhoAg[i] - Rdrag[i] + tf[i] for i in range(3)]
-
-        ps = R_(v)
-        wxq = _cross(w, q)
-        ns = [rhoA * x - fb[i]
-              for i, x in enumerate(R_([wxq[i] + qt[i] for i in range(3)]))]
-        rJw = _matvec3(rhoJ, w)
-        rJwt = _matvec3(rhoJ, wt)
-        wxrJw = _cross(w, rJw)
-        Rm = R_([wxrJw[i] + rJwt[i] for i in range(3)])
-        psxn = _cross(ps, n)
-        ms = [Rm[i] - psxn[i] for i in range(3)]
-        uxq = _cross(u, q)
-        wxv = _cross(w, v)
-        qs = [vt[i] - uxq[i] + wxv[i] for i in range(3)]
-        uxw = _cross(u, w)
-        ws = [ut[i] - uxw[i] for i in range(3)]
-        u1, u2, u3 = u
-        hs = [0.5 * (-u1 * h2 - u2 * h3 - u3 * h4),
-              0.5 * (u1 * h1 + u3 * h3 - u2 * h4),
-              0.5 * (u2 * h1 - u3 * h2 + u1 * h4),
-              0.5 * (u3 * h1 + u2 * h2 - u1 * h3)]
-
-        dy = ps + hs + ns + ms + qs + ws
-        z = v + u
-
-        if use_nn:
-            if spec.history:
-                parts = y + [yh_j[0:19, :]] + z + [zh_j[0:6, :]] + tf
-            else:
-                parts = y + z + tf
-            x = jnp.concatenate(parts, axis=0)
-            for l in range(n_layers):
-                w_ref, b_ref = w_refs[2 * l], w_refs[2 * l + 1]
-                x = jnp.dot(w_ref[:], x,
-                            preferred_element_type=x.dtype) + b_ref[:]
-                if l < n_layers - 1:
-                    x = act(x)
-            dy = [dy[i] + x[i:i + 1, :] for i in range(19)]
-            z = [z[i] + x[19 + i:20 + i, :] for i in range(6)]
-        return dy, z
 
     def base_rows(G6, TB):
         const_row = lambda c: jnp.full((1, TB), c, dtype)
@@ -207,7 +117,13 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
             x[k] = rhs / A[k][k]
         return x
 
-    def kernel(*refs):
+    def make_kernel(B_live: int):
+        """Kernel specialized on the LIVE batch size: lanes >= B_live are
+        zero padding and start pre-stalled, so they never cold-start a
+        Newton solve nor gate the while_loop for the real lanes."""
+        return lambda *refs: kernel_body(B_live, *refs)
+
+    def kernel_body(B_live, *refs):
         G_ref, yh_ref, zh_ref, tf_ref, *rest = refs
         if use_nn:
             w_refs = tuple(rest[:2 * n_layers])
@@ -218,19 +134,25 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
 
         TB = G_ref.shape[1]
         tf = [tf_ref[i:i + 1, :] for i in range(3)]
+        lane = (jax.lax.broadcasted_iota(jnp.int32, (1, TB), 1)
+                + pl.program_id(0) * TB)
+        pad_lane = lane >= B_live
 
         def node_update(j, y):
             """One spatial step at node j from the (19, TB) state: returns
             (y_next (19, TB), z rows at node j)."""
-            yh_j = yh_ref[pl.ds(j * _YR, _YR), :]
-            zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :]
+            # slice the padded slabs down to the live rows: the shared
+            # rhs_rows (and its 53-input history concat) expects exactly
+            # (19, TB) / (6, TB)
+            yh_j = yh_ref[pl.ds(j * _YR, _YR), :][0:19, :]
+            zh_j = zh_ref[pl.ds(j * _ZR, _ZR), :][0:6, :]
             rows = [y[i:i + 1, :] for i in range(19)]
             if method == "euler":
                 dy, z = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
                 y_new = [rows[i] + ds * dy[i] for i in range(19)]
             else:
-                yh_j1 = yh_ref[pl.ds((j + 1) * _YR, _YR), :]
-                zh_j1 = zh_ref[pl.ds((j + 1) * _ZR, _ZR), :]
+                yh_j1 = yh_ref[pl.ds((j + 1) * _YR, _YR), :][0:19, :]
+                zh_j1 = zh_ref[pl.ds((j + 1) * _ZR, _ZR), :][0:6, :]
                 yh_m = 0.5 * (yh_j + yh_j1)   # linear history midpoints
                 zh_m = 0.5 * (zh_j + zh_j1)   # (knode.py:80-81)
                 k1, z = rhs_rows(rows, yh_j, zh_j, tf, w_refs)
@@ -262,8 +184,9 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
         r = sweep_res([G[i:i + 1, :] for i in range(6)])
         r2 = jnp.sum(r * r, axis=0, keepdims=True)           # (1, TB)
         # the stall mask is carried as f32 (1.0 = stalled): Mosaic cannot
-        # legalize i1 vectors through scf.while yields
-        stalled_f = jnp.zeros((1, TB), dtype)
+        # legalize i1 vectors through scf.while yields. Padding lanes
+        # start stalled.
+        stalled_f = jnp.where(pad_lane, 1.0, 0.0).astype(dtype)
         it = jnp.zeros((), jnp.int32)
 
         def cond(state):
@@ -297,27 +220,41 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
             # inlined only once here — compile time stays flat in
             # n_alphas; found mask carried as f32 (i1 yield restriction)
             def ls_body(k, ls):
-                G_best, r_best, r2_best, found_f = ls
+                (G_best, r_best, r2_best, found_f,
+                 G_full, r_full, r2_full) = ls
                 a = jnp.exp2(-k.astype(dtype))               # 0.5**k
                 Gc = [G[i:i + 1, :] + a * dG[i] for i in range(6)]
+                Gc_cat = jnp.concatenate(Gc, axis=0)
                 r_c = sweep_res(Gc)
                 r2_c = jnp.sum(r_c * r_c, axis=0, keepdims=True)
                 improves = (r2_c < r2) & (found_f < 0.5)
                 take = improves & active
-                G_best = jnp.where(take, jnp.concatenate(Gc, axis=0),
-                                   G_best)
+                G_best = jnp.where(take, Gc_cat, G_best)
                 r_best = jnp.where(take, r_c, r_best)
                 r2_best = jnp.where(take, r2_c, r2_best)
                 found_f = jnp.maximum(found_f,
                                       jnp.where(improves, 1.0, 0.0))
-                return (G_best, r_best, r2_best, found_f)
+                # remember the k=0 (full Newton step) candidate: lanes
+                # whose search fails still commit it (_build_step's
+                # pick=0-when-not-found semantics, fast_rollout.py:110)
+                first = (k == 0)
+                G_full = jnp.where(first, Gc_cat, G_full)
+                r_full = jnp.where(first, r_c, r_full)
+                r2_full = jnp.where(first, r2_c, r2_full)
+                return (G_best, r_best, r2_best, found_f,
+                        G_full, r_full, r2_full)
 
-            G_best, r_best, r2_best, found_f = jax.lax.fori_loop(
+            (G_best, r_best, r2_best, found_f,
+             G_full, r_full, r2_full) = jax.lax.fori_loop(
                 0, n_alphas, ls_body,
-                (G, r, r2, jnp.zeros((1, TB), dtype)))
+                (G, r, r2, jnp.zeros((1, TB), dtype), G, r, r2))
 
+            no_improve = active & (found_f < 0.5)
+            G_best = jnp.where(no_improve, G_full, G_best)
+            r_best = jnp.where(no_improve, r_full, r_best)
+            r2_best = jnp.where(no_improve, r2_full, r2_best)
             stalled_f = jnp.maximum(
-                stalled_f, jnp.where(active & (found_f < 0.5), 1.0, 0.0))
+                stalled_f, jnp.where(no_improve, 1.0, 0.0))
             return (G_best, r_best, r2_best, stalled_f, it + 1)
 
         G, r, r2, stalled_f, it = jax.lax.while_loop(
@@ -377,7 +314,7 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
                      bspec(1), bspec(1)]
 
         outs = pl.pallas_call(
-            kernel,
+            make_kernel(B),
             grid=(Bp // TB,),
             in_specs=in_specs,
             out_specs=out_specs,

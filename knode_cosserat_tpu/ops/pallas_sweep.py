@@ -90,25 +90,14 @@ def _activation_rows(name):
     raise ValueError(name)
 
 
-def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
-                      block_b: int = 256, interpret: bool = False,
-                      want_rod: bool = True, method: str = "euler",
-                      pipeline: bool | None = None):
-    """Build the fused spatial-sweep kernel for a concrete rod (+ optional
-    KNODE net). Returns fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3),
-    nn_params|None) -> (residual (B,6)[, y (B,N,19), z (B,N-1,6)]).
+def make_rhs_rows(p: RodParams, spec: MLPSpec | None = None):
+    """Factory for the in-kernel per-node RHS on (1, TB) lane-rows.
 
-    method: "euler" (reference parity, cosserat_ode.py:197-201) or "rk4"
-    (cosserat_ode.py:222-242 with linear history midpoints, knode.py:80-81
-    — the midpoints are computed in-kernel from the node histories).
-    pipeline: lowering mode (see module docstring). None picks statically:
-    grid pipeline for RK4 or N > 16, static unroll otherwise.
-    """
-    if method not in ("euler", "rk4"):
-        raise ValueError(method)
-    N = p.N
-    if pipeline is None:
-        pipeline = method == "rk4" or N > 16
+    Shared by the sweep kernel (this module) and the mega step kernel
+    (ops/pallas_step.py) so the physics lives in exactly ONE place.
+    Returns rhs_rows(y, yh_j, zh_j, tf, w_refs) -> (dy rows(19), z rows(6))
+    with y a list of 19 (1, TB) rows, yh_j (19, TB), zh_j (6, TB), tf a
+    list of 3 rows (mirrors cosserat_ode.py:114-186)."""
     f = lambda v: float(np.asarray(v))
     Kse_inv = _c3(p.Kse_c0Bse_inv)
     Kbt_inv = _c3(p.Kbt_c0Bbt_inv)
@@ -118,22 +107,13 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
     v_rest = tuple(float(x) for x in np.asarray(p.v_rest))
     rhoAg = tuple(float(x) for x in np.asarray(p.rhoAg))
     Cdrag = tuple(float(x) for x in np.asarray(p.C))
-    p0 = tuple(float(x) for x in np.asarray(p.p0))
-    h0 = tuple(float(x) for x in np.asarray(p.h0))
-    q0 = tuple(float(x) for x in np.asarray(p.q0))
-    w0 = tuple(float(x) for x in np.asarray(p.w0))
-    F_tip = tuple(float(x) for x in np.asarray(p.F_tip))
-    M_tip = tuple(float(x) for x in np.asarray(p.M_tip))
     c0 = f(p.c0)
     rhoA = f(p.rhoA)
-    ds = f(p.ds)
     use_nn = spec is not None
     n_layers = len(spec.dims) - 1 if use_nn else 0
     act = _activation_rows(spec.activation) if use_nn else None
 
     def rhs_rows(y, yh_j, zh_j, tf, w_refs):
-        """y: list of 19 (1, TB) rows; yh_j (19, TB); zh_j (6, TB);
-        tf: list of 3 rows. Returns (dy rows (19), z rows (6))."""
         h = y[3:7]
         n = y[7:10]
         m = y[10:13]
@@ -214,6 +194,42 @@ def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
             dy = [dy[i] + x[i:i + 1, :] for i in range(19)]
             z = [z[i] + x[19 + i:20 + i, :] for i in range(6)]
         return dy, z
+
+    return rhs_rows
+
+
+def make_sweep_kernel(p: RodParams, spec: MLPSpec | None = None,
+                      block_b: int = 256, interpret: bool = False,
+                      want_rod: bool = True, method: str = "euler",
+                      pipeline: bool | None = None):
+    """Build the fused spatial-sweep kernel for a concrete rod (+ optional
+    KNODE net). Returns fn(G (B,6), yh (B,N,19), zh (B,N,6), tf (B,3),
+    nn_params|None) -> (residual (B,6)[, y (B,N,19), z (B,N-1,6)]).
+
+    method: "euler" (reference parity, cosserat_ode.py:197-201) or "rk4"
+    (cosserat_ode.py:222-242 with linear history midpoints, knode.py:80-81
+    — the midpoints are computed in-kernel from the node histories).
+    pipeline: lowering mode (see module docstring). None picks statically:
+    grid pipeline for RK4 or N > 16, static unroll otherwise.
+    """
+    if method not in ("euler", "rk4"):
+        raise ValueError(method)
+    N = p.N
+    if pipeline is None:
+        pipeline = method == "rk4" or N > 16
+    f = lambda v: float(np.asarray(v))
+    p0 = tuple(float(x) for x in np.asarray(p.p0))
+    h0 = tuple(float(x) for x in np.asarray(p.h0))
+    q0 = tuple(float(x) for x in np.asarray(p.q0))
+    w0 = tuple(float(x) for x in np.asarray(p.w0))
+    F_tip = tuple(float(x) for x in np.asarray(p.F_tip))
+    M_tip = tuple(float(x) for x in np.asarray(p.M_tip))
+    ds = f(p.ds)
+    use_nn = spec is not None
+    n_layers = len(spec.dims) - 1 if use_nn else 0
+    act = _activation_rows(spec.activation) if use_nn else None
+
+    rhs_rows = make_rhs_rows(p, spec)
 
     def euler_update(y, yh_j, zh_j, tf, w_refs):
         dy, z = rhs_rows(y, yh_j, zh_j, tf, w_refs)

@@ -81,8 +81,13 @@ def _read_record(buf: bytes, i: int) -> Tuple[Dict[str, bytes], bytes, int]:
 
 
 def _time_bytes(t: float) -> bytes:
+    if t < 0:
+        raise ValueError(f"ROS time is unsigned; got negative stamp {t}")
     secs = int(t)
     nsecs = int(round((t - secs) * 1e9))
+    if nsecs >= 1_000_000_000:      # carry (e.g. t = 1.9999999999)
+        secs += 1
+        nsecs -= 1_000_000_000
     return struct.pack("<LL", secs, nsecs)
 
 

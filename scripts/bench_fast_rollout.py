@@ -22,9 +22,14 @@ def main(N=40, B=256, T=50, dtype="float32"):
 
     xla = jax.jit(jax.vmap(lambda c: simulate_scan(p, c, tol=1e-10).traj))
     fast = jax.jit(make_fast_rollout(p, tol=1e-10, block_b=min(512, B * 7)))
+    mega = jax.jit(make_fast_rollout(p, tol=1e-10, block_b=min(256, B),
+                                     impl="mega"))
 
     results = {}
-    for name, fn, arg in [("xla", xla, ctls), ("pallas", fast, ctls)]:
+    rows = ([("xla", xla, ctls)] if N <= 40 else []) + \
+        ([("pallas", fast, ctls)] if N <= 40 else []) + \
+        [("mega", mega, ctls)]
+    for name, fn, arg in rows:
         t0 = time.perf_counter()
         out = fn(arg)
         jax.block_until_ready(out)
@@ -40,12 +45,14 @@ def main(N=40, B=256, T=50, dtype="float32"):
         print(f"N={N} {name:7s}: {sps:>10,.0f} steps/s "
               f"(compile {compile_s:.0f}s)", flush=True)
 
-    a = np.asarray(results["xla"])          # (B, T, N, 50)
-    b = np.asarray(results["pallas"])
-    print("max |pallas - xla| positions:",
-          float(np.abs(a[..., :3] - b[..., :3]).max()))
+    if "xla" in results:
+        a = np.asarray(results["xla"])      # (B, T, N, 50)
+        for other in ("pallas", "mega"):
+            b = np.asarray(results[other])
+            print(f"max |{other} - xla| positions:",
+                  float(np.abs(a[..., :3] - b[..., :3]).max()))
 
 
 if __name__ == "__main__":
-    for N in (10, 40):
+    for N in (10, 40, 80):
         main(N=N)

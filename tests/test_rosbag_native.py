@@ -172,3 +172,22 @@ def test_cli_prepare_on_binary_bag(tmp_path, capsys):
     assert "DTW Distance XYZ" in captured
     data = np.load(out_dir / "exp3.bag.npz")
     assert data["traj"].shape[2] == 50 and np.isfinite(data["traj"]).all()
+
+
+def test_time_encoding_edge_cases(tmp_path):
+    """Negative stamps rejected with a clear error; nanosecond rounding
+    carries into seconds (no spec-invalid nsecs == 1e9)."""
+    import struct
+
+    from knode_cosserat_tpu.realworld.rosbag_io import (_time_bytes,
+                                                        _time_from)
+    with pytest.raises(ValueError, match="unsigned"):
+        _time_bytes(-0.5)
+    secs, nsecs = struct.unpack("<LL", _time_bytes(1.9999999999))
+    assert (secs, nsecs) == (2, 0)
+    assert abs(_time_from(_time_bytes(123.456789)) - 123.456789) < 1e-9
+
+    w = BagWriter(str(tmp_path / "neg.bag"))
+    with pytest.raises(ValueError):
+        w.write_pose("/vicon/continuum_base/pose", -1.0,
+                     [0, 0, 0], [0, 0, 0, 1])
