@@ -246,19 +246,54 @@ def main():
     p1, o1, losses = run(params, opt_state, tj, cj)
     jax.block_until_ready(losses)
 
-    # best-of-5: a single timed run is exposed to transient axon-lease /
-    # host stalls (observed 2.7x outliers); best-of guards the headline
-    train_seconds = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        p1, o1, losses = run(params, opt_state, tj, cj)
-        jax.block_until_ready(losses)
-        train_seconds = min(train_seconds, time.perf_counter() - t0)
-    ours = EPOCHS_MEASURE / train_seconds
+    # Queued timing (5 runs per sync), best of 3: a per-run sync charges
+    # the axon tunnel's ~30 ms host round trip to the chip — measured
+    # ~85% of the old headline was tunnel latency, not device time. A
+    # locally attached TPU does not pay it. best-of guards against
+    # transient lease stalls (observed 2.7x outliers).
+    def timeit_queued(fn, n=5, reps=3):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            out = None
+            for _ in range(n):
+                out = fn()
+            jax.block_until_ready(jax.tree.leaves(out)[-1])
+            best = min(best, (time.perf_counter() - t0) / n)
+        return best
+
+    train_seconds = timeit_queued(
+        lambda: run(params, opt_state, tj, cj))
+    xla_eps = EPOCHS_MEASURE / train_seconds
+    ours = xla_eps
+    _, _, losses = run(params, opt_state, tj, cj)
     assert np.isfinite(np.asarray(losses)).all()
 
+    # fused whole-training-run kernel (ops/pallas_train.py): the entire
+    # 200-epoch run is ONE kernel launch; headline when supported
+    extras_train = {"training_xla_epochs_per_sec": round(xla_eps, 1)}
+    try:
+        from knode_cosserat_tpu.ops.pallas_train import (
+            fused_trainer_supported, make_fused_training_run)
+        n_cells = int(tj.shape[0] * (tj.shape[1] - 1) * len(cfg.keypoints))
+        if (fused_trainer_supported(spec, n_cells)
+                and jax.default_backend() != "cpu"):
+            run_f = make_fused_training_run(p_mod, spec, cfg,
+                                            EPOCHS_MEASURE)
+            fused_seconds = timeit_queued(lambda: run_f(params, tj, cj))
+            fused_eps = EPOCHS_MEASURE / fused_seconds
+            extras_train["training_fused_epochs_per_sec"] = round(
+                fused_eps, 1)
+            _, lf = run_f(params, tj, cj)
+            assert np.isfinite(np.asarray(lf)).all()
+            if fused_eps > ours:
+                ours = fused_eps
+                train_seconds = fused_seconds
+    except Exception as e:
+        print(f"# fused trainer unavailable: {e}", file=sys.stderr)
+
     # --- MFU of the training program: compiled-cost FLOPs / time / peak ---
-    extras = {}
+    extras = dict(extras_train)
     try:
         cost = run.lower(params, opt_state, tj, cj).compile().cost_analysis()
         if isinstance(cost, (list, tuple)):

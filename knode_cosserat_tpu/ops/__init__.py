@@ -4,3 +4,4 @@ from .dtw import batch_dtw_device, dtw_device, tip_dtw_device
 from .linalg import solve_small, solve_spd_small
 from .pallas_sweep import make_sweep_kernel
 from .pallas_step import make_step_kernel
+from .pallas_train import fused_trainer_supported, make_fused_training_run

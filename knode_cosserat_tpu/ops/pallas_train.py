@@ -1,0 +1,378 @@
+"""Pallas TPU kernel: the ENTIRE KNODE training run in one launch.
+
+Key observation: the reference's training loss is TEACHER-FORCED
+(physics_train.py:306-376) — every RHS evaluation point, every MLP input
+feature, and every target is ground-truth data, independent of the MLP
+parameters. The physics forward is therefore a CONSTANT of the training
+run: gradients reach the parameters only through the residual add
+  y_grown = y_base + ds * nn(x),   z_pred = z_phys + nn(x)[19:]
+with x fixed. So:
+
+  1. precompute (XLA, once): per-cell features x, physics-grown base
+     y_base, physics strains z_phys, targets, and the target euler
+     angles — cells = (trajectory x timestep x keypoint) on LANES;
+  2. run ALL epochs inside one pallas_call: MLP forward (MXU), the loss
+     (with a hand-derived quaternion->euler cotangent), the manual MLP
+     backward (MXU), Adam + reduce-on-plateau + non-negative weight
+     clamp — parameters, optimizer state, and data all VMEM-resident.
+
+The epoch-scan XLA path (training/train.py:make_epoch_scan) runs ~6k
+epochs/s at the reference config: per-epoch wall time is XLA op dispatch,
+not FLOPs. This kernel removes the remaining per-epoch overhead entirely.
+
+Exact-parity targets (tests/test_pallas_train.py): optax.adam(lr) chained
+with optax.contrib.reduce_on_plateau(factor, patience, rtol=1e-4, atol=0,
+cooldown=0, accumulation_size=1) and clamp_nonnegative after every step —
+the same chain as training.train.make_optimizer.
+
+Scope guards (callers fall back to the XLA epoch scan otherwise): 2-layer
+MLP (the reference architecture — its --layers flag is the hidden WIDTH),
+cell count <= 1024 after padding, no weight decay.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# core.* is imported lazily inside make_fused_training_run: core.rhs
+# imports ops.quaternion, so a module-level import here would be circular
+# through ops/__init__.
+from ..models.mlp import MLPSpec
+
+__all__ = ["make_fused_training_run", "fused_trainer_supported"]
+
+MAX_CELLS = 1024
+_ADAM_B1 = 0.9
+_ADAM_B2 = 0.999
+_ADAM_EPS = 1e-8
+
+# Mosaic TPU has no atan2/asin primitive — implement atan on [-1, 1] as an
+# odd Chebyshev-fit polynomial (max error ~1e-9, far below f32 eps) and
+# build atan2/asin from it with standard range reductions.
+_ATAN_COEF = tuple(
+    float(c) for c in np.polynomial.chebyshev.Chebyshev.interpolate(
+        np.arctan, deg=29, domain=[-1.0, 1.0]
+    ).convert(kind=np.polynomial.Polynomial).coef[1::2])
+
+
+def _atan01(z):
+    """atan(z) for z in [0, 1]: z * P(z^2), Horner."""
+    z2 = z * z
+    acc = jnp.full_like(z, _ATAN_COEF[-1])
+    for c in _ATAN_COEF[-2::-1]:
+        acc = acc * z2 + c
+    return z * acc
+
+
+def _atan2_rows(y, x):
+    """Four-quadrant atan2 on lane-rows (y rarely exactly 0 here; the
+    y==0, x<0 branch returns +pi like numpy for +0)."""
+    ax = jnp.abs(x)
+    ay = jnp.abs(y)
+    den = jnp.maximum(jnp.maximum(ax, ay), 1e-30)
+    t = jnp.minimum(ax, ay) / den
+    r = _atan01(t)
+    r = jnp.where(ay > ax, np.pi / 2 - r, r)
+    r = jnp.where(x < 0, np.pi - r, r)
+    return jnp.where(y < 0, -r, r)
+
+
+def _asin_rows(x):
+    return _atan2_rows(x, jnp.sqrt(jnp.maximum(1.0 - x * x, 0.0)))
+
+
+def fused_trainer_supported(spec: MLPSpec, n_cells: int,
+                            weight_decay: float = 0.0) -> bool:
+    return (len(spec.dims) == 3 and spec.activation == "elu"
+            and n_cells <= MAX_CELLS and not weight_decay)
+
+
+def _euler_forward(q):
+    """Euler angles of a raw quaternion (4 lane-rows w, x, y, z). Mirrors
+    ops/quaternion.quaternion_to_euler exactly: normalize, then
+    roll/pitch/yaw in ITS (nonstandard) convention. Returns (e rows(3),
+    aux) with aux carrying the intermediates the backward needs."""
+    qw, qx, qy, qz = q
+    n2 = qw * qw + qx * qx + qy * qy + qz * qz
+    s = jax.lax.rsqrt(n2)
+    w, x, y, z = qw * s, qx * s, qy * s, qz * s
+
+    A = 2.0 * (w * y + x * z)
+    B = 1.0 - 2.0 * (y * y + z * z)
+    roll = _atan2_rows(A, B)
+    C = 2.0 * (w * z - x * y)
+    Cc = jnp.clip(C, -1.0, 1.0)
+    pitch = _asin_rows(Cc)
+    D = 2.0 * (w * x + y * z)
+    E = 1.0 - 2.0 * (x * x + z * z)
+    yaw = _atan2_rows(D, E)
+    aux = (s, w, x, y, z, A, B, C, Cc, D, E)
+    return [roll, pitch, yaw], aux
+
+
+def _euler_backward(aux, cot_e):
+    """Loss cotangent wrt the RAW quaternion rows given _euler_forward's
+    intermediates and dL/de rows."""
+    s, w, x, y, z, A, B, C, Cc, D, E = aux
+    gr, gp, gy_ = cot_e
+    # roll = atan2(A, B): d/du = (B dA - A dB) / (A^2 + B^2)
+    rden = gr / (A * A + B * B)
+    cA = B * rden          # cotangent on A
+    cB = -A * rden
+    # pitch = asin(clip(C)): gradient zero outside the clip
+    inside = jnp.abs(C) < 1.0
+    pden = jnp.where(inside, gp * jax.lax.rsqrt(jnp.maximum(1.0 - Cc * Cc,
+                                                            1e-30)), 0.0)
+    # yaw = atan2(D, E)
+    yden = gy_ / (D * D + E * E)
+    cD = E * yden
+    cE = -D * yden
+
+    # chain onto the NORMALIZED components
+    dw = cA * 2.0 * y + pden * 2.0 * z + cD * 2.0 * x
+    dx = cA * 2.0 * z - pden * 2.0 * y + cD * 2.0 * w + cE * (-4.0 * x)
+    dy_ = cA * 2.0 * w + cB * (-4.0 * y) - pden * 2.0 * x + cD * 2.0 * z
+    dz = cA * 2.0 * x + cB * (-4.0 * z) + pden * 2.0 * w + cD * 2.0 * y \
+        + cE * (-4.0 * z)
+
+    # through normalization: dq = s * (I - hn hn^T) dhn
+    dot = w * dw + x * dx + y * dy_ + z * dz
+    dqw = s * (dw - w * dot)
+    dqx = s * (dx - x * dot)
+    dqy = s * (dy_ - y * dot)
+    dqz = s * (dz - z * dot)
+    return [dqw, dqx, dqy, dqz]
+
+
+def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
+                            interpret: bool = False):
+    """Whole-training-run kernel. Returns
+    run(params, trajs (B,T,N,25), controls (B,T,4)) -> (params', losses
+    (n_epochs,)) — numerically matching training.train.make_epoch_scan
+    driven by make_optimizer(cfg) from a FRESH optimizer state.
+
+    cfg: TrainConfig (lr, keypoints, clamp_weights, plateau_*).
+    """
+    from ..core.rhs import nn_input_features, rhs
+    from ..ops.quaternion import quaternion_to_euler
+    if len(spec.dims) != 3 or spec.activation != "elu":
+        raise NotImplementedError(
+            "fused trainer supports 2-layer ELU MLPs (the reference "
+            "architecture); use the XLA epoch scan otherwise")
+    din, hidden, dout = spec.dims
+    assert dout == 25
+    kp = tuple(cfg.keypoints)
+    K = len(kp)
+    ds = float(np.asarray(p.ds))
+    lr = float(cfg.lr)
+    factor = float(cfg.plateau_factor)
+    patience = int(cfg.plateau_patience)
+    rtol = 1e-4
+    clamp = bool(cfg.clamp_weights)
+    E = int(n_epochs)
+
+    def precompute(trajs, controls):
+        """Per-cell constants, state-major (rows, C) with C padded."""
+        kpa = jnp.asarray(kp)
+        ys = trajs[:, :-1, :, :19]
+        zs = trajs[:, :-1, :, 19:]
+        y_prev = jnp.concatenate([ys[:, :1], ys[:, :-1]], axis=1)
+        z_prev = jnp.concatenate([zs[:, :1], zs[:, :-1]], axis=1)
+        yh = p.c1 * ys + p.c2 * y_prev
+        zh = p.c1 * zs + p.c2 * z_prev
+        G = trajs[:, 1:]
+        y_in = G[:, :, kpa - 1, :19]                   # (B, T-1, K, 19)
+        yh_in = yh[:, :, kpa - 1]
+        zh_in = zh[:, :, kpa - 1]
+        tf = jnp.einsum("btk,kc->btc", controls[:, :-1],
+                        jnp.asarray(p.tendon_dirs, controls.dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+        tf_b = jnp.broadcast_to(tf[:, :, None, :], yh_in.shape[:3] + (3,))
+        dy_phys, z_phys = rhs(p, y_in, yh_in, zh_in, tf_b)
+        feats = nn_input_features(y_in, yh_in, z_phys, zh_in, tf_b,
+                                  spec.history)
+        y_base = y_in + ds * dy_phys
+        tgt_y = G[:, :, kpa, :19]
+        tgt_z = G[:, :, kpa - 1, 19:]
+        e_tgt = quaternion_to_euler(tgt_y[..., 3:7])
+
+        Bt, Tm1 = y_in.shape[0], y_in.shape[1]
+        C = Bt * Tm1 * K
+        Cp = ((C + 127) // 128) * 128
+        if C > MAX_CELLS:
+            raise ValueError(f"{C} cells > MAX_CELLS={MAX_CELLS}")
+
+        def lanes(a):        # (B, T-1, K, d) -> (d, Cp), f32 at the boundary
+            flat = a.reshape(C, a.shape[-1])
+            return jnp.pad(flat, ((0, Cp - C), (0, 0))).T.astype(jnp.float32)
+        mask = jnp.pad(jnp.ones((C, 1), jnp.float32),
+                       ((0, Cp - C), (0, 0))).T             # (1, Cp)
+        # per-trajectory mean denominators (sum over trajs of means ==
+        # sum over all cells / per-traj element count)
+        inv = {
+            "pos": 1.0 / (Tm1 * K * 3),
+            "states": 1.0 / (Tm1 * K * 12),
+            "eul": 1.0 / (Tm1 * K * 3),
+            "z": 1.0 / (Tm1 * K * 6),
+        }
+        return (lanes(feats), lanes(y_base), lanes(z_phys), lanes(tgt_y),
+                lanes(tgt_z), lanes(e_tgt), mask, inv)
+
+    def kernel(x_ref, yb_ref, zp_ref, ty_ref, tz_ref, te_ref, m_ref,
+               w1_ref, b1_ref, w2_ref, b2_ref,
+               w1o_ref, b1o_ref, w2o_ref, b2o_ref, loss_ref,
+               inv_pos, inv_states, inv_eul, inv_z):
+        Cp = x_ref.shape[1]
+        f32 = x_ref.dtype
+        x = x_ref[:]                                    # (din, Cp)
+        mask = m_ref[:]                                 # (1, Cp)
+        y_base = yb_ref[:]
+        z_phys = zp_ref[:]
+        tgt_y = ty_ref[:]
+        tgt_z = tz_ref[:]
+        e_tgt = te_ref[:]
+        Ep = loss_ref.shape[1]
+        lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, Ep), 1)
+
+        def dot(a, b, dims):
+            # DEFAULT matmul precision — same single-pass MXU lowering the
+            # XLA path's mlp_apply gets; the physics (which does need full
+            # f32) was precomputed outside the kernel
+            return jax.lax.dot_general(a, b, dimension_numbers=(dims,
+                                                                ((), ())),
+                                       preferred_element_type=f32)
+
+        def body(e, carry):
+            (W1, B1, W2, B2, m1, v1, mb1, vb1, m2, v2, mb2, vb2,
+             best, pcount, scale, losses) = carry
+
+            # ---- forward ----
+            a1 = dot(W1, x, ((1,), (0,))) + B1          # (h, Cp)
+            hpre = a1
+            hact = jnp.where(hpre > 0, hpre, jnp.exp(hpre) - 1.0)  # elu
+            nn = dot(W2, hact, ((1,), (0,))) + B2       # (25, Cp)
+
+            yg = y_base + ds * nn[0:19, :]
+            z_pred = z_phys + nn[19:25, :]
+
+            dpos = (yg[0:3, :] - tgt_y[0:3, :]) * mask
+            dstates = (yg[7:19, :] - tgt_y[7:19, :]) * mask
+            dz = (z_pred - tgt_z) * mask
+
+            q_rows = [yg[3 + i:4 + i, :] for i in range(4)]
+            e_rows, aux = _euler_forward(q_rows)
+            de = [(e_rows[i] - e_tgt[i:i + 1, :]) * mask for i in range(3)]
+
+            loss = (jnp.sum(dpos * dpos) * inv_pos
+                    + jnp.sum(dstates * dstates) * inv_states
+                    + (jnp.sum(de[0] * de[0]) + jnp.sum(de[1] * de[1])
+                       + jnp.sum(de[2] * de[2])) * inv_eul
+                    + jnp.sum(dz * dz) * inv_z)
+
+            # ---- gradient wrt nn output ----
+            cot_e = [2.0 * inv_eul * de[i] for i in range(3)]
+            dq = _euler_backward(aux, cot_e)
+            g = jnp.concatenate(
+                [2.0 * ds * inv_pos * dpos]
+                + [ds * dq[i] for i in range(4)]
+                + [2.0 * ds * inv_states * dstates,
+                   2.0 * inv_z * dz], axis=0)            # (25, Cp)
+
+            # ---- MLP backward ----
+            dW2 = dot(g, hact, ((1,), (1,)))             # (25, h)
+            dB2 = jnp.sum(g, axis=1, keepdims=True)      # (25, 1)
+            dh = dot(W2, g, ((0,), (0,)))                # (h, Cp)
+            da1 = dh * jnp.where(hpre > 0, 1.0, jnp.exp(hpre))
+            dW1 = dot(da1, x, ((1,), (1,)))              # (h, din)
+            dB1 = jnp.sum(da1, axis=1, keepdims=True)    # (h, 1)
+
+            # ---- reduce_on_plateau (optax.contrib semantics,
+            # accumulation_size=1, cooldown=0, atol=0) ----
+            improved = loss < (1.0 - rtol) * best
+            best = jnp.where(improved, loss, best)
+            cnt = jnp.where(improved, 0, pcount + 1)
+            hit = cnt == patience
+            scale = jnp.where(hit, scale * factor, scale)
+            pcount = jnp.where(hit, 0, cnt)
+
+            # ---- Adam (bias-corrected) * (-lr * scale) ----
+            t = (e + 1).astype(f32)
+            # Mosaic has no pow primitive: b**t = exp(t * ln b)
+            bc1 = 1.0 - jnp.exp(t * float(np.log(_ADAM_B1)))
+            bc2 = 1.0 - jnp.exp(t * float(np.log(_ADAM_B2)))
+            step_sz = lr * scale
+
+            def adam(P, Gd, mu, nu, is_w):
+                mu = _ADAM_B1 * mu + (1.0 - _ADAM_B1) * Gd
+                nu = _ADAM_B2 * nu + (1.0 - _ADAM_B2) * Gd * Gd
+                upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + _ADAM_EPS)
+                P = P - step_sz * upd
+                if clamp and is_w:
+                    P = jnp.maximum(P, 0.0)
+                return P, mu, nu
+
+            W1, m1, v1 = adam(W1, dW1, m1, v1, True)
+            B1, mb1, vb1 = adam(B1, dB1, mb1, vb1, False)
+            W2, m2, v2 = adam(W2, dW2, m2, v2, True)
+            B2, mb2, vb2 = adam(B2, dB2, mb2, vb2, False)
+
+            losses = jnp.where(lane_e == e, loss, losses)
+            return (W1, B1, W2, B2, m1, v1, mb1, vb1, m2, v2, mb2, vb2,
+                    best, pcount, scale, losses)
+
+        z1 = jnp.zeros((hidden, din), f32)
+        zb1 = jnp.zeros((hidden, 1), f32)
+        z2 = jnp.zeros((25, hidden), f32)
+        zb2 = jnp.zeros((25, 1), f32)
+        init = (w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:],
+                z1, z1, zb1, zb1, z2, z2, zb2, zb2,
+                jnp.asarray(jnp.inf, f32), jnp.asarray(0, jnp.int32),
+                jnp.asarray(1.0, f32), jnp.full((1, Ep), jnp.nan, f32))
+        out = jax.lax.fori_loop(0, E, body, init)
+        (W1, B1, W2, B2, *_rest) = out
+        losses = out[-1]
+        w1o_ref[:] = W1
+        b1o_ref[:] = B1
+        w2o_ref[:] = W2
+        b2o_ref[:] = B2
+        loss_ref[:] = losses
+
+    @jax.jit
+    def run(params, trajs, controls):
+        f32 = jnp.float32
+        trajs = jnp.asarray(trajs, f32)
+        controls = jnp.asarray(controls, f32)
+        (x, y_base, z_phys, tgt_y, tgt_z, e_tgt, mask,
+         inv) = precompute(trajs, controls)
+        W1 = jnp.asarray(params[0]["w"], f32)
+        B1 = jnp.asarray(params[0]["b"], f32)[:, None]
+        W2 = jnp.asarray(params[1]["w"], f32)
+        B2 = jnp.asarray(params[1]["b"], f32)[:, None]
+        Ep = ((E + 127) // 128) * 128
+        vmem = pltpu.VMEM
+        spec_full = pl.BlockSpec(memory_space=vmem)
+        outs = pl.pallas_call(
+            partial(kernel, inv_pos=inv["pos"], inv_states=inv["states"],
+                    inv_eul=inv["eul"], inv_z=inv["z"]),
+            in_specs=[spec_full] * 11,
+            out_specs=[spec_full] * 5,
+            out_shape=[
+                jax.ShapeDtypeStruct(W1.shape, f32),
+                jax.ShapeDtypeStruct(B1.shape, f32),
+                jax.ShapeDtypeStruct(W2.shape, f32),
+                jax.ShapeDtypeStruct(B2.shape, f32),
+                jax.ShapeDtypeStruct((1, Ep), f32),
+            ],
+            interpret=interpret,
+        )(x, y_base, z_phys, tgt_y, tgt_z, e_tgt, mask, W1, B1, W2, B2)
+        W1o, B1o, W2o, B2o, losses = outs
+        params_out = ({"w": W1o, "b": B1o[:, 0]},
+                      {"w": W2o, "b": B2o[:, 0]})
+        return params_out, losses[0, :E]
+
+    return run
