@@ -27,7 +27,11 @@ the same chain as training.train.make_optimizer.
 
 Scope guards (callers fall back to the XLA epoch scan otherwise): 2-layer
 MLP (the reference architecture — its --layers flag is the hidden WIDTH),
-cell count <= 1024 after padding, no weight decay.
+cell count <= 1024 after padding, no weight decay. The kernel owns its
+optimizer state for the whole run (fresh Adam/plateau state), so it
+serves ONE-SHOT training runs — chunked loops that eval/checkpoint
+mid-run (train_knode) keep the XLA epoch scan, which round-trips optax
+state across chunk boundaries.
 """
 from __future__ import annotations
 
