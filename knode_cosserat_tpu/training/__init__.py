@@ -4,4 +4,4 @@ from .loss import (teacher_forced_loss, grow_predictions,
                    DEFAULT_KEYPOINTS_FAST, DEFAULT_KEYPOINTS_SLOW,
                    DEFAULT_KEYPOINTS_REAL)
 from .train import (TrainConfig, TrainResult, train_knode, make_train_step,
-                    make_epoch_scan, rollout_with_nn)
+                    make_epoch_scan, make_optimizer, rollout_with_nn)
