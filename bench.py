@@ -140,9 +140,8 @@ def measure_extras(ref, golden_trajs, golden_ctls):
     import jax
     import jax.numpy as jnp
     from knode_cosserat_tpu import calc_controls, experimental_rod
-    from knode_cosserat_tpu.core.fast_rollout import (make_fast_rollout,
-                                                      make_fast_step)
-    from knode_cosserat_tpu.core.stepper import initial_state, simulate_scan
+    from knode_cosserat_tpu.core.fast_rollout import make_fast_rollout
+    from knode_cosserat_tpu.core.stepper import simulate_scan
 
     on_cpu = jax.default_backend() == "cpu"
     # mega = whole Newton shooting step in one kernel launch
@@ -169,15 +168,11 @@ def measure_extras(ref, golden_trajs, golden_ctls):
         extras[f"rollout_fused_steps_per_sec_n{N}"] = round(B * (T - 1) / dt)
         extras[f"rollout_fused_compile_s_n{N}"] = round(compile_s, 1)
 
-    # --- serving latency: one rod, one BDF-2 step ---
-    step = jax.jit(make_fast_step(p10, tol=1e-12, impl=impl))
-    y0, z0 = initial_state(p10)
-    y0 = y0[None]
-    z0 = z0[None]
-    G0 = jnp.zeros((1, 6), jnp.float32)
-    t4 = jnp.asarray([[6.0, 5.0, 4.0, 5.0]], jnp.float32)
-    dt, _ = _timeit(lambda: step(y0, z0, y0, z0, G0, t4), iters=20)
-    extras["serving_latency_ms"] = round(dt * 1e3, 3)
+    # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
+    from knode_cosserat_tpu.serving import CompiledStepper
+    stepper = CompiledStepper(p10, fast=not on_cpu)
+    extras["serving_latency_ms"] = round(
+        stepper.benchmark(100)["latency_ms"], 3)
 
     # --- parity: f32 device rollout vs the f64 CPU-exact golden ---
     # golden_trajs: (B, T, N, 25) state-last
