@@ -279,7 +279,7 @@ def main():
             fused_eps = EPOCHS_MEASURE / fused_seconds
             extras_train["training_fused_epochs_per_sec"] = round(
                 fused_eps, 1)
-            _, lf = run_f(params, tj, cj)
+            _, lf, _ = run_f(params, tj, cj)
             assert np.isfinite(np.asarray(lf)).all()
             if fused_eps > ours:
                 ours = fused_eps

@@ -49,7 +49,7 @@ def main():
     n_cells = trajs.shape[0] * (trajs.shape[1] - 1) * len(cfg.keypoints)
     if not on_cpu and fused_trainer_supported(spec, n_cells):
         run = make_fused_training_run(wrong, spec, cfg, cfg.epochs)
-        params, losses = run(params, trajs, ctls)
+        params, losses, _ = run(params, trajs, ctls)
     else:
         opt = make_optimizer(cfg)
         run = make_epoch_scan(wrong, spec, opt, cfg.keypoints,

@@ -27,11 +27,10 @@ the same chain as training.train.make_optimizer.
 
 Scope guards (callers fall back to the XLA epoch scan otherwise): 2-layer
 MLP (the reference architecture — its --layers flag is the hidden WIDTH),
-cell count <= 1024 after padding, no weight decay. The kernel owns its
-optimizer state for the whole run (fresh Adam/plateau state), so it
-serves ONE-SHOT training runs — chunked loops that eval/checkpoint
-mid-run (train_knode) keep the XLA epoch scan, which round-trips optax
-state across chunk boundaries.
+cell count <= 1024 after padding, no weight decay. Optimizer state
+(Adam moments, global step count, plateau best/count/scale) rounds-trip
+through an opaque ``opt_state`` dict, so chunked runs compose exactly
+(tests/test_pallas_train.py::test_fused_training_chunked_resume).
 """
 from __future__ import annotations
 
@@ -229,7 +228,11 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
 
     def kernel(x_ref, yb_ref, zp_ref, ty_ref, tz_ref, te_ref, m_ref,
                w1_ref, b1_ref, w2_ref, b2_ref,
-               w1o_ref, b1o_ref, w2o_ref, b2o_ref, loss_ref,
+               m1_ref, v1_ref, mb1_ref, vb1_ref,
+               m2_ref, v2_ref, mb2_ref, vb2_ref, ss_ref,
+               w1o_ref, b1o_ref, w2o_ref, b2o_ref,
+               m1o_ref, v1o_ref, mb1o_ref, vb1o_ref,
+               m2o_ref, v2o_ref, mb2o_ref, vb2o_ref, sso_ref, loss_ref,
                inv_pos, inv_states, inv_eul, inv_z):
         Cp = x_ref.shape[1]
         f32 = x_ref.dtype
@@ -305,7 +308,8 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
             pcount = jnp.where(hit, 0, cnt)
 
             # ---- Adam (bias-corrected) * (-lr * scale) ----
-            t = (e + 1).astype(f32)
+            # t counts GLOBAL optimizer steps (resumable chunked runs)
+            t = t0 + (e + 1).astype(f32)
             # Mosaic has no pow primitive: b**t = exp(t * ln b)
             bc1 = 1.0 - jnp.exp(t * float(np.log(_ADAM_B1)))
             bc2 = 1.0 - jnp.exp(t * float(np.log(_ADAM_B2)))
@@ -329,25 +333,42 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
             return (W1, B1, W2, B2, m1, v1, mb1, vb1, m2, v2, mb2, vb2,
                     best, pcount, scale, losses)
 
-        z1 = jnp.zeros((hidden, din), f32)
-        zb1 = jnp.zeros((hidden, 1), f32)
-        z2 = jnp.zeros((25, hidden), f32)
-        zb2 = jnp.zeros((25, 1), f32)
+        # scalar state row: lanes [t0, best, pcount, scale]
+        ss = ss_ref[:]
+        t0 = ss[0, 0]
         init = (w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:],
-                z1, z1, zb1, zb1, z2, z2, zb2, zb2,
-                jnp.asarray(jnp.inf, f32), jnp.asarray(0, jnp.int32),
-                jnp.asarray(1.0, f32), jnp.full((1, Ep), jnp.nan, f32))
+                m1_ref[:], v1_ref[:], mb1_ref[:], vb1_ref[:],
+                m2_ref[:], v2_ref[:], mb2_ref[:], vb2_ref[:],
+                ss[0, 1], ss[0, 2].astype(jnp.int32), ss[0, 3],
+                jnp.full((1, Ep), jnp.nan, f32))
         out = jax.lax.fori_loop(0, E, body, init)
-        (W1, B1, W2, B2, *_rest) = out
-        losses = out[-1]
+        (W1, B1, W2, B2, m1, v1, mb1, vb1, m2, v2, mb2, vb2,
+         best, pcount, scale, losses) = out
         w1o_ref[:] = W1
         b1o_ref[:] = B1
         w2o_ref[:] = W2
         b2o_ref[:] = B2
+        m1o_ref[:] = m1
+        v1o_ref[:] = v1
+        mb1o_ref[:] = mb1
+        vb1o_ref[:] = vb1
+        m2o_ref[:] = m2
+        v2o_ref[:] = v2
+        mb2o_ref[:] = mb2
+        vb2o_ref[:] = vb2
+        lane128 = jax.lax.broadcasted_iota(jnp.int32, (1, 128), 1)
+        sso_ref[:] = jnp.where(
+            lane128 == 0, t0 + E, jnp.where(
+                lane128 == 1, best, jnp.where(
+                    lane128 == 2, pcount.astype(f32), jnp.where(
+                        lane128 == 3, scale, 0.0)))).astype(f32)
         loss_ref[:] = losses
 
     @jax.jit
-    def run(params, trajs, controls):
+    def run(params, trajs, controls, opt_state=None):
+        """opt_state: None for a fresh run, or the opaque dict a previous
+        call returned — chunked runs compose exactly (global Adam step
+        count, plateau best/count/scale, and moments all round-trip)."""
         f32 = jnp.float32
         trajs = jnp.asarray(trajs, f32)
         controls = jnp.asarray(controls, f32)
@@ -357,26 +378,35 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
         B1 = jnp.asarray(params[0]["b"], f32)[:, None]
         W2 = jnp.asarray(params[1]["w"], f32)
         B2 = jnp.asarray(params[1]["b"], f32)[:, None]
+        if opt_state is None:
+            zeros = lambda a: jnp.zeros_like(a)
+            moments = (zeros(W1), zeros(W1), zeros(B1), zeros(B1),
+                       zeros(W2), zeros(W2), zeros(B2), zeros(B2))
+            ss = jnp.zeros((1, 128), f32).at[0, 1].set(jnp.inf)
+            ss = ss.at[0, 3].set(1.0)
+        else:
+            moments = tuple(opt_state["moments"])
+            ss = opt_state["scalars"]
         Ep = ((E + 127) // 128) * 128
         vmem = pltpu.VMEM
         spec_full = pl.BlockSpec(memory_space=vmem)
+        shapes = lambda arrs: [jax.ShapeDtypeStruct(a.shape, f32)
+                               for a in arrs]
         outs = pl.pallas_call(
             partial(kernel, inv_pos=inv["pos"], inv_states=inv["states"],
                     inv_eul=inv["eul"], inv_z=inv["z"]),
-            in_specs=[spec_full] * 11,
-            out_specs=[spec_full] * 5,
-            out_shape=[
-                jax.ShapeDtypeStruct(W1.shape, f32),
-                jax.ShapeDtypeStruct(B1.shape, f32),
-                jax.ShapeDtypeStruct(W2.shape, f32),
-                jax.ShapeDtypeStruct(B2.shape, f32),
-                jax.ShapeDtypeStruct((1, Ep), f32),
-            ],
+            in_specs=[spec_full] * 20,
+            out_specs=[spec_full] * 14,
+            out_shape=(shapes([W1, B1, W2, B2]) + shapes(moments)
+                       + [jax.ShapeDtypeStruct((1, 128), f32),
+                          jax.ShapeDtypeStruct((1, Ep), f32)]),
             interpret=interpret,
-        )(x, y_base, z_phys, tgt_y, tgt_z, e_tgt, mask, W1, B1, W2, B2)
-        W1o, B1o, W2o, B2o, losses = outs
+        )(x, y_base, z_phys, tgt_y, tgt_z, e_tgt, mask, W1, B1, W2, B2,
+          *moments, ss)
+        W1o, B1o, W2o, B2o = outs[:4]
         params_out = ({"w": W1o, "b": B1o[:, 0]},
                       {"w": W2o, "b": B2o[:, 0]})
-        return params_out, losses[0, :E]
+        opt_out = {"moments": tuple(outs[4:12]), "scalars": outs[12]}
+        return params_out, outs[13][0, :E], opt_out
 
     return run

@@ -43,7 +43,7 @@ def test_fused_training_matches_epoch_scan():
     assert fused_trainer_supported(spec, trajs.shape[0] * (trajs.shape[1]
                                                            - 1) * 4)
     run = make_fused_training_run(p_mod, spec, cfg, epochs, interpret=True)
-    p_fused, l_fused = run(params, trajs, ctls)
+    p_fused, l_fused, _ = run(params, trajs, ctls)
     p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
 
     np.testing.assert_allclose(np.asarray(l_fused), l_xla, rtol=2e-4,
@@ -61,7 +61,7 @@ def test_fused_training_plateau_reduction():
     p_mod, cfg, spec, params, trajs, ctls = _setup(
         epochs=epochs, plateau_patience=4, plateau_factor=0.5)
     run = make_fused_training_run(p_mod, spec, cfg, epochs, interpret=True)
-    p_fused, l_fused = run(params, trajs, ctls)
+    p_fused, l_fused, _ = run(params, trajs, ctls)
     p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
     np.testing.assert_allclose(np.asarray(l_fused), l_xla, rtol=5e-4,
                                atol=1e-9)
@@ -73,7 +73,7 @@ def test_fused_training_history_net():
                                                    history=True)
     assert spec.dims[0] == 53
     run = make_fused_training_run(p_mod, spec, cfg, epochs, interpret=True)
-    p_fused, l_fused = run(params, trajs, ctls)
+    p_fused, l_fused, _ = run(params, trajs, ctls)
     p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
     np.testing.assert_allclose(np.asarray(l_fused), l_xla, rtol=2e-4,
                                atol=1e-9)
@@ -83,7 +83,27 @@ def test_fused_training_loss_decreases():
     epochs = 30
     p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=epochs)
     run = make_fused_training_run(p_mod, spec, cfg, epochs, interpret=True)
-    _, losses = run(params, trajs, ctls)
+    _, losses, _ = run(params, trajs, ctls)
     l = np.asarray(losses)
     assert np.isfinite(l).all()
     assert l[-1] < l[0] * 0.5
+
+
+def test_fused_training_chunked_resume():
+    """Two chunked fused runs with opt-state round-trip == one long run
+    (global Adam step count, plateau state, moments all compose)."""
+    p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=40)
+    run15 = make_fused_training_run(p_mod, spec, cfg, 15, interpret=True)
+    run25 = make_fused_training_run(p_mod, spec, cfg, 25, interpret=True)
+    run40 = make_fused_training_run(p_mod, spec, cfg, 40, interpret=True)
+
+    pa, la, st = run15(params, trajs, ctls)
+    pa, lb, st = run25(pa, trajs, ctls, st)
+    pc, lc, _ = run40(params, trajs, ctls)
+
+    np.testing.assert_allclose(np.concatenate([np.asarray(la),
+                                               np.asarray(lb)]),
+                               np.asarray(lc), rtol=1e-6, atol=1e-12)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
