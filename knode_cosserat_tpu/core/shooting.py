@@ -26,10 +26,13 @@ __all__ = ["newton_solve", "implicit_root", "NewtonStats"]
 
 
 class NewtonStats(NamedTuple):
+    """Solver statistics. All four fields are always arrays so stacked /
+    scanned NewtonStats have a uniform pytree structure (no int-vs-array
+    leaf mismatch when mixing constructed and default instances)."""
     iterations: jnp.ndarray
     residual_norm: jnp.ndarray
     converged: jnp.ndarray
-    lm_retries: jnp.ndarray = 0  # plain int default: no backend init at import
+    lm_retries: jnp.ndarray
 
 
 def newton_solve(

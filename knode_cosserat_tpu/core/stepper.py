@@ -143,7 +143,8 @@ def simulate_scan(
             r = res(jax.lax.stop_gradient(G_new))
             stats = NewtonStats(jnp.array(0, jnp.int32),
                                 jnp.sqrt(jnp.sum(r * r)),
-                                jnp.array(True))
+                                jnp.array(True),
+                                jnp.array(0, jnp.int32))
         else:
             G_new, stats = newton_solve(res, G_guess, tol=tol,
                                         max_iter=max_iter)

@@ -13,24 +13,40 @@ with x fixed. So:
      angles — cells = (trajectory x timestep x keypoint) on LANES;
   2. run ALL epochs inside one pallas_call: MLP forward (MXU), the loss
      (with a hand-derived quaternion->euler cotangent), the manual MLP
-     backward (MXU), Adam + reduce-on-plateau + non-negative weight
+     backward (MXU), AdamW + reduce-on-plateau + non-negative weight
      clamp — parameters, optimizer state, and data all VMEM-resident.
 
 The epoch-scan XLA path (training/train.py:make_epoch_scan) runs ~6k
 epochs/s at the reference config: per-epoch wall time is XLA op dispatch,
 not FLOPs. This kernel removes the remaining per-epoch overhead entirely.
 
-Exact-parity targets (tests/test_pallas_train.py): optax.adam(lr) chained
-with optax.contrib.reduce_on_plateau(factor, patience, rtol=1e-4, atol=0,
+Exact-parity targets (tests/test_pallas_train.py): optax.adam(lr) — or
+optax.adamw(lr, weight_decay) when cfg.weight_decay is set — chained with
+optax.contrib.reduce_on_plateau(factor, patience, rtol=1e-4, atol=0,
 cooldown=0, accumulation_size=1) and clamp_nonnegative after every step —
 the same chain as training.train.make_optimizer.
 
+Cells beyond one VMEM tile are processed by an in-kernel fori_loop over
+lane tiles of ``CELL_TILE`` (loss and weight gradients accumulate across
+tiles before the optimizer update), so the cap is MAX_CELLS=8192 padded
+cells — enough for train-real (4 x 119 x 4 = 1904 cells) and every
+reference training config.
+
 Scope guards (callers fall back to the XLA epoch scan otherwise): 2-layer
-MLP (the reference architecture — its --layers flag is the hidden WIDTH),
-cell count <= 1024 after padding, no weight decay. Optimizer state
-(Adam moments, global step count, plateau best/count/scale) rounds-trip
-through an opaque ``opt_state`` dict, so chunked runs compose exactly
-(tests/test_pallas_train.py::test_fused_training_chunked_resume).
+MLP (the reference architecture — its --layers flag is the hidden WIDTH)
+and cell count <= MAX_CELLS after padding. Optimizer state (Adam moments,
+global step count, plateau best/count/scale) rounds-trip through an opaque
+``opt_state`` dict, so chunked runs compose exactly
+(tests/test_pallas_train.py::test_fused_training_chunked_resume), and
+``fused_state_from_optax`` / ``optax_state_from_fused`` convert to and
+from the optax chain state so the product trainer (training/train.py)
+keeps ONE canonical optimizer state across fused and XLA chunks.
+
+``make_fused_grid_training_run`` is the multitrain version: ``jax.vmap``
+over (rod, params, data) lifts the kernel to a grid over experiment
+cells — the whole (data x mod x seed) sweep trains in one compiled
+program with zero per-epoch and per-cell dispatch
+(physics_multitrain.py:85-157 at chip scale).
 """
 from __future__ import annotations
 
@@ -42,14 +58,17 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# core.* is imported lazily inside make_fused_training_run: core.rhs
-# imports ops.quaternion, so a module-level import here would be circular
+# core.* is imported lazily inside the run builders: core.rhs imports
+# ops.quaternion, so a module-level import here would be circular
 # through ops/__init__.
 from ..models.mlp import MLPSpec
 
-__all__ = ["make_fused_training_run", "fused_trainer_supported"]
+__all__ = ["make_fused_training_run", "make_fused_grid_training_run",
+           "fused_trainer_supported", "fused_state_from_optax",
+           "optax_state_from_fused"]
 
-MAX_CELLS = 1024
+MAX_CELLS = 8192
+CELL_TILE = 1024
 _ADAM_B1 = 0.9
 _ADAM_B2 = 0.999
 _ADAM_EPS = 1e-8
@@ -91,8 +110,11 @@ def _asin_rows(x):
 
 def fused_trainer_supported(spec: MLPSpec, n_cells: int,
                             weight_decay: float = 0.0) -> bool:
+    """Weight decay IS supported (in-kernel AdamW); the argument remains so
+    call sites state what they checked."""
+    del weight_decay
     return (len(spec.dims) == 3 and spec.activation == "elu"
-            and n_cells <= MAX_CELLS and not weight_decay)
+            and n_cells <= MAX_CELLS)
 
 
 def _euler_forward(q):
@@ -102,7 +124,9 @@ def _euler_forward(q):
     aux) with aux carrying the intermediates the backward needs."""
     qw, qx, qy, qz = q
     n2 = qw * qw + qx * qx + qy * qy + qz * qz
-    s = jax.lax.rsqrt(n2)
+    # floor keeps zero-padded lanes finite (0 * nan = nan would defeat the
+    # loss mask and poison the lane-summed dW matmuls)
+    s = jax.lax.rsqrt(jnp.maximum(n2, 1e-30))
     w, x, y, z = qw * s, qx * s, qy * s, qz * s
 
     A = 2.0 * (w * y + x * z)
@@ -152,15 +176,92 @@ def _euler_backward(aux, cot_e):
     return [dqw, dqx, dqy, dqz]
 
 
-def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
-                            interpret: bool = False):
-    """Whole-training-run kernel. Returns
-    run(params, trajs (B,T,N,25), controls (B,T,4)) -> (params', losses
-    (n_epochs,)) — numerically matching training.train.make_epoch_scan
-    driven by make_optimizer(cfg) from a FRESH optimizer state.
+# --------------------------------------------------------------- optax IO
 
-    cfg: TrainConfig (lr, keypoints, clamp_weights, plateau_*).
-    """
+def _find_adam_state(opt_state):
+    import optax
+    for s in jax.tree.leaves(opt_state[0],
+                             is_leaf=lambda x: isinstance(
+                                 x, optax.ScaleByAdamState)):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s
+    raise ValueError("opt_state[0] carries no ScaleByAdamState — not a "
+                     "make_optimizer() chain state")
+
+
+def fused_state_from_optax(opt_state):
+    """optax chain state (make_optimizer: (adam|adamw, reduce_on_plateau))
+    -> the kernel's opaque {"moments", "scalars"} dict. Bias moments are
+    stored as column vectors (d, 1) to match the kernel's VMEM layout."""
+    adam = _find_adam_state(opt_state)
+    plateau = opt_state[1]
+    mu, nu = adam.mu, adam.nu
+    col = lambda b: jnp.asarray(b, jnp.float32)[:, None]
+    mat = lambda w: jnp.asarray(w, jnp.float32)
+    moments = (mat(mu[0]["w"]), mat(nu[0]["w"]), col(mu[0]["b"]),
+               col(nu[0]["b"]), mat(mu[1]["w"]), mat(nu[1]["w"]),
+               col(mu[1]["b"]), col(nu[1]["b"]))
+    ss = jnp.zeros((1, 128), jnp.float32)
+    ss = ss.at[0, 0].set(jnp.asarray(adam.count, jnp.float32))
+    ss = ss.at[0, 1].set(jnp.asarray(plateau.best_value, jnp.float32))
+    ss = ss.at[0, 2].set(jnp.asarray(plateau.plateau_count, jnp.float32))
+    ss = ss.at[0, 3].set(jnp.asarray(plateau.scale, jnp.float32))
+    return {"moments": moments, "scalars": ss}
+
+
+def optax_state_from_fused(fused, template):
+    """Pour the kernel's opaque state back into an optax chain state of the
+    exact structure of ``template`` (an optimizer.init(params) result).
+    reduce_on_plateau's accumulation fields (count, avg_value,
+    cooldown_count) are 0 between steps for the accumulation_size=1 /
+    cooldown=0 configuration the trainer pins."""
+    adam = _find_adam_state(template)
+    plateau = template[1]
+    m = fused["moments"]
+    ss = fused["scalars"]
+    cast = lambda x, like: jnp.asarray(x, like.dtype)
+    mu = (({"w": cast(m[0], adam.mu[0]["w"]),
+            "b": cast(m[2][:, 0], adam.mu[0]["b"])},
+           {"w": cast(m[4], adam.mu[1]["w"]),
+            "b": cast(m[6][:, 0], adam.mu[1]["b"])}))
+    nu = (({"w": cast(m[1], adam.nu[0]["w"]),
+            "b": cast(m[3][:, 0], adam.nu[0]["b"])},
+           {"w": cast(m[5], adam.nu[1]["w"]),
+            "b": cast(m[7][:, 0], adam.nu[1]["b"])}))
+    new_adam = adam._replace(count=ss[0, 0].astype(adam.count.dtype),
+                             mu=mu, nu=nu)
+    new_plateau = plateau._replace(
+        scale=cast(ss[0, 3], plateau.scale),
+        best_value=cast(ss[0, 1], plateau.best_value),
+        plateau_count=ss[0, 2].astype(plateau.plateau_count.dtype),
+        cooldown_count=jnp.zeros_like(plateau.cooldown_count),
+        count=jnp.zeros_like(plateau.count),
+        avg_value=jnp.zeros_like(plateau.avg_value))
+    inner = tuple(new_adam if isinstance(s, type(adam)) else s
+                  for s in template[0])
+    return (inner, new_plateau)
+
+
+# ----------------------------------------------------------- run builders
+
+def _fresh_state(params):
+    """Fresh opaque optimizer state for ``params`` (an init_mlp pytree)."""
+    f32 = jnp.float32
+    W1 = jnp.asarray(params[0]["w"], f32)
+    B1 = jnp.asarray(params[0]["b"], f32)[:, None]
+    W2 = jnp.asarray(params[1]["w"], f32)
+    B2 = jnp.asarray(params[1]["b"], f32)[:, None]
+    z = jnp.zeros_like
+    moments = (z(W1), z(W1), z(B1), z(B1), z(W2), z(W2), z(B2), z(B2))
+    ss = jnp.zeros((1, 128), f32).at[0, 1].set(jnp.inf).at[0, 3].set(1.0)
+    return {"moments": moments, "scalars": ss}
+
+
+def _make_run_one(spec: MLPSpec, cfg, n_epochs: int, interpret: bool):
+    """Core builder: run_one(p, params, trajs, controls, opt_state) with the
+    rod a TRACED argument, so ``jax.vmap`` lifts the whole training run over
+    a stacked grid of (rod, params, data). Per-rod scalars (ds) ride the
+    scalar-state row; everything shape-derived stays static."""
     from ..core.rhs import nn_input_features, rhs
     from ..ops.quaternion import quaternion_to_euler
     if len(spec.dims) != 3 or spec.activation != "elu":
@@ -171,16 +272,17 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
     assert dout == 25
     kp = tuple(cfg.keypoints)
     K = len(kp)
-    ds = float(np.asarray(p.ds))
     lr = float(cfg.lr)
+    wd = float(getattr(cfg, "weight_decay", 0.0) or 0.0)
     factor = float(cfg.plateau_factor)
     patience = int(cfg.plateau_patience)
     rtol = 1e-4
     clamp = bool(cfg.clamp_weights)
     E = int(n_epochs)
 
-    def precompute(trajs, controls):
-        """Per-cell constants, state-major (rows, C) with C padded."""
+    def precompute(p, trajs, controls):
+        """Per-cell constants, tiled state-major (n_tiles, rows, TILE)."""
+        ds = jnp.asarray(p.ds, trajs.dtype)
         kpa = jnp.asarray(kp)
         ys = trajs[:, :-1, :, :19]
         zs = trajs[:, :-1, :, 19:]
@@ -206,15 +308,20 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
 
         Bt, Tm1 = y_in.shape[0], y_in.shape[1]
         C = Bt * Tm1 * K
-        Cp = ((C + 127) // 128) * 128
         if C > MAX_CELLS:
             raise ValueError(f"{C} cells > MAX_CELLS={MAX_CELLS}")
+        tile = min(CELL_TILE, ((C + 127) // 128) * 128)
+        Cp = ((C + tile - 1) // tile) * tile
+        n_tiles = Cp // tile
 
-        def lanes(a):        # (B, T-1, K, d) -> (d, Cp), f32 at the boundary
+        def lanes(a):   # (B, T-1, K, d) -> (n_tiles, d, tile), f32 boundary
             flat = a.reshape(C, a.shape[-1])
-            return jnp.pad(flat, ((0, Cp - C), (0, 0))).T.astype(jnp.float32)
+            flat = jnp.pad(flat, ((0, Cp - C), (0, 0))).astype(jnp.float32)
+            return jnp.moveaxis(flat.reshape(n_tiles, tile, a.shape[-1]),
+                                1, 2)
         mask = jnp.pad(jnp.ones((C, 1), jnp.float32),
-                       ((0, Cp - C), (0, 0))).T             # (1, Cp)
+                       ((0, Cp - C), (0, 0)))
+        mask = jnp.moveaxis(mask.reshape(n_tiles, tile, 1), 1, 2)
         # per-trajectory mean denominators (sum over trajs of means ==
         # sum over all cells / per-traj element count)
         inv = {
@@ -224,7 +331,7 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
             "z": 1.0 / (Tm1 * K * 6),
         }
         return (lanes(feats), lanes(y_base), lanes(z_phys), lanes(tgt_y),
-                lanes(tgt_z), lanes(e_tgt), mask, inv)
+                lanes(tgt_z), lanes(e_tgt), mask, inv, ds)
 
     def kernel(x_ref, yb_ref, zp_ref, ty_ref, tz_ref, te_ref, m_ref,
                w1_ref, b1_ref, w2_ref, b2_ref,
@@ -234,15 +341,8 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
                m1o_ref, v1o_ref, mb1o_ref, vb1o_ref,
                m2o_ref, v2o_ref, mb2o_ref, vb2o_ref, sso_ref, loss_ref,
                inv_pos, inv_states, inv_eul, inv_z):
-        Cp = x_ref.shape[1]
+        n_tiles = x_ref.shape[0]
         f32 = x_ref.dtype
-        x = x_ref[:]                                    # (din, Cp)
-        mask = m_ref[:]                                 # (1, Cp)
-        y_base = yb_ref[:]
-        z_phys = zp_ref[:]
-        tgt_y = ty_ref[:]
-        tgt_z = tz_ref[:]
-        e_tgt = te_ref[:]
         Ep = loss_ref.shape[1]
         lane_e = jax.lax.broadcasted_iota(jnp.int32, (1, Ep), 1)
 
@@ -254,49 +354,74 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
                                                                 ((), ())),
                                        preferred_element_type=f32)
 
+        # scalar state row: lanes [t0, best, pcount, scale, ds]
+        ss = ss_ref[:]
+        t0 = ss[0, 0]
+        ds = ss[0, 4]
+
         def body(e, carry):
             (W1, B1, W2, B2, m1, v1, mb1, vb1, m2, v2, mb2, vb2,
              best, pcount, scale, losses) = carry
 
-            # ---- forward ----
-            a1 = dot(W1, x, ((1,), (0,))) + B1          # (h, Cp)
-            hpre = a1
-            hact = jnp.where(hpre > 0, hpre, jnp.exp(hpre) - 1.0)  # elu
-            nn = dot(W2, hact, ((1,), (0,))) + B2       # (25, Cp)
+            def tile_body(t, acc):
+                loss_a, dW1a, dB1a, dW2a, dB2a = acc
+                x = x_ref[t]                                # (din, tile)
+                mask = m_ref[t]                             # (1, tile)
+                y_base = yb_ref[t]
+                z_phys = zp_ref[t]
+                tgt_y = ty_ref[t]
+                tgt_z = tz_ref[t]
+                e_tgt = te_ref[t]
 
-            yg = y_base + ds * nn[0:19, :]
-            z_pred = z_phys + nn[19:25, :]
+                # ---- forward ----
+                a1 = dot(W1, x, ((1,), (0,))) + B1          # (h, tile)
+                hpre = a1
+                hact = jnp.where(hpre > 0, hpre,
+                                 jnp.exp(hpre) - 1.0)       # elu
+                nn = dot(W2, hact, ((1,), (0,))) + B2       # (25, tile)
 
-            dpos = (yg[0:3, :] - tgt_y[0:3, :]) * mask
-            dstates = (yg[7:19, :] - tgt_y[7:19, :]) * mask
-            dz = (z_pred - tgt_z) * mask
+                yg = y_base + ds * nn[0:19, :]
+                z_pred = z_phys + nn[19:25, :]
 
-            q_rows = [yg[3 + i:4 + i, :] for i in range(4)]
-            e_rows, aux = _euler_forward(q_rows)
-            de = [(e_rows[i] - e_tgt[i:i + 1, :]) * mask for i in range(3)]
+                dpos = (yg[0:3, :] - tgt_y[0:3, :]) * mask
+                dstates = (yg[7:19, :] - tgt_y[7:19, :]) * mask
+                dz = (z_pred - tgt_z) * mask
 
-            loss = (jnp.sum(dpos * dpos) * inv_pos
-                    + jnp.sum(dstates * dstates) * inv_states
-                    + (jnp.sum(de[0] * de[0]) + jnp.sum(de[1] * de[1])
-                       + jnp.sum(de[2] * de[2])) * inv_eul
-                    + jnp.sum(dz * dz) * inv_z)
+                q_rows = [yg[3 + i:4 + i, :] for i in range(4)]
+                e_rows, aux = _euler_forward(q_rows)
+                de = [(e_rows[i] - e_tgt[i:i + 1, :]) * mask
+                      for i in range(3)]
 
-            # ---- gradient wrt nn output ----
-            cot_e = [2.0 * inv_eul * de[i] for i in range(3)]
-            dq = _euler_backward(aux, cot_e)
-            g = jnp.concatenate(
-                [2.0 * ds * inv_pos * dpos]
-                + [ds * dq[i] for i in range(4)]
-                + [2.0 * ds * inv_states * dstates,
-                   2.0 * inv_z * dz], axis=0)            # (25, Cp)
+                loss = (jnp.sum(dpos * dpos) * inv_pos
+                        + jnp.sum(dstates * dstates) * inv_states
+                        + (jnp.sum(de[0] * de[0]) + jnp.sum(de[1] * de[1])
+                           + jnp.sum(de[2] * de[2])) * inv_eul
+                        + jnp.sum(dz * dz) * inv_z)
 
-            # ---- MLP backward ----
-            dW2 = dot(g, hact, ((1,), (1,)))             # (25, h)
-            dB2 = jnp.sum(g, axis=1, keepdims=True)      # (25, 1)
-            dh = dot(W2, g, ((0,), (0,)))                # (h, Cp)
-            da1 = dh * jnp.where(hpre > 0, 1.0, jnp.exp(hpre))
-            dW1 = dot(da1, x, ((1,), (1,)))              # (h, din)
-            dB1 = jnp.sum(da1, axis=1, keepdims=True)    # (h, 1)
+                # ---- gradient wrt nn output ----
+                cot_e = [2.0 * inv_eul * de[i] for i in range(3)]
+                dq = _euler_backward(aux, cot_e)
+                g = jnp.concatenate(
+                    [2.0 * ds * inv_pos * dpos]
+                    + [ds * dq[i] for i in range(4)]
+                    + [2.0 * ds * inv_states * dstates,
+                       2.0 * inv_z * dz], axis=0)            # (25, tile)
+
+                # ---- MLP backward ----
+                dW2 = dot(g, hact, ((1,), (1,)))             # (25, h)
+                dB2 = jnp.sum(g, axis=1, keepdims=True)      # (25, 1)
+                dh = dot(W2, g, ((0,), (0,)))                # (h, tile)
+                da1 = dh * jnp.where(hpre > 0, 1.0, jnp.exp(hpre))
+                dW1 = dot(da1, x, ((1,), (1,)))              # (h, din)
+                dB1 = jnp.sum(da1, axis=1, keepdims=True)    # (h, 1)
+                return (loss_a + loss, dW1a + dW1, dB1a + dB1,
+                        dW2a + dW2, dB2a + dB2)
+
+            zero = jnp.zeros((), f32)
+            acc0 = (zero, jnp.zeros_like(W1), jnp.zeros_like(B1),
+                    jnp.zeros_like(W2), jnp.zeros_like(B2))
+            loss, dW1, dB1, dW2, dB2 = jax.lax.fori_loop(
+                0, n_tiles, tile_body, acc0)
 
             # ---- reduce_on_plateau (optax.contrib semantics,
             # accumulation_size=1, cooldown=0, atol=0) ----
@@ -307,7 +432,7 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
             scale = jnp.where(hit, scale * factor, scale)
             pcount = jnp.where(hit, 0, cnt)
 
-            # ---- Adam (bias-corrected) * (-lr * scale) ----
+            # ---- AdamW (bias-corrected) * (-lr * scale) ----
             # t counts GLOBAL optimizer steps (resumable chunked runs)
             t = t0 + (e + 1).astype(f32)
             # Mosaic has no pow primitive: b**t = exp(t * ln b)
@@ -319,6 +444,10 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
                 mu = _ADAM_B1 * mu + (1.0 - _ADAM_B1) * Gd
                 nu = _ADAM_B2 * nu + (1.0 - _ADAM_B2) * Gd * Gd
                 upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + _ADAM_EPS)
+                if wd:
+                    # optax.adamw: decoupled decay on every param, applied
+                    # inside the lr*scale step
+                    upd = upd + wd * P
                 P = P - step_sz * upd
                 if clamp and is_w:
                     P = jnp.maximum(P, 0.0)
@@ -333,9 +462,6 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
             return (W1, B1, W2, B2, m1, v1, mb1, vb1, m2, v2, mb2, vb2,
                     best, pcount, scale, losses)
 
-        # scalar state row: lanes [t0, best, pcount, scale]
-        ss = ss_ref[:]
-        t0 = ss[0, 0]
         init = (w1_ref[:], b1_ref[:], w2_ref[:], b2_ref[:],
                 m1_ref[:], v1_ref[:], mb1_ref[:], vb1_ref[:],
                 m2_ref[:], v2_ref[:], mb2_ref[:], vb2_ref[:],
@@ -361,32 +487,23 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
             lane128 == 0, t0 + E, jnp.where(
                 lane128 == 1, best, jnp.where(
                     lane128 == 2, pcount.astype(f32), jnp.where(
-                        lane128 == 3, scale, 0.0)))).astype(f32)
+                        lane128 == 3, scale, jnp.where(
+                            lane128 == 4, ds, 0.0))))).astype(f32)
         loss_ref[:] = losses
 
-    @jax.jit
-    def run(params, trajs, controls, opt_state=None):
-        """opt_state: None for a fresh run, or the opaque dict a previous
-        call returned — chunked runs compose exactly (global Adam step
-        count, plateau best/count/scale, and moments all round-trip)."""
+    def run_one(p, params, trajs, controls, opt_state):
         f32 = jnp.float32
         trajs = jnp.asarray(trajs, f32)
         controls = jnp.asarray(controls, f32)
         (x, y_base, z_phys, tgt_y, tgt_z, e_tgt, mask,
-         inv) = precompute(trajs, controls)
+         inv, ds) = precompute(p, trajs, controls)
         W1 = jnp.asarray(params[0]["w"], f32)
         B1 = jnp.asarray(params[0]["b"], f32)[:, None]
         W2 = jnp.asarray(params[1]["w"], f32)
         B2 = jnp.asarray(params[1]["b"], f32)[:, None]
-        if opt_state is None:
-            zeros = lambda a: jnp.zeros_like(a)
-            moments = (zeros(W1), zeros(W1), zeros(B1), zeros(B1),
-                       zeros(W2), zeros(W2), zeros(B2), zeros(B2))
-            ss = jnp.zeros((1, 128), f32).at[0, 1].set(jnp.inf)
-            ss = ss.at[0, 3].set(1.0)
-        else:
-            moments = tuple(opt_state["moments"])
-            ss = opt_state["scalars"]
+        moments = tuple(opt_state["moments"])
+        # ds always rides lane 4 (per-rod scalar; survives round-trips)
+        ss = opt_state["scalars"].at[0, 4].set(jnp.asarray(ds, f32))
         Ep = ((E + 127) // 128) * 128
         vmem = pltpu.VMEM
         spec_full = pl.BlockSpec(memory_space=vmem)
@@ -408,5 +525,48 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
                       {"w": W2o, "b": B2o[:, 0]})
         opt_out = {"moments": tuple(outs[4:12]), "scalars": outs[12]}
         return params_out, outs[13][0, :E], opt_out
+
+    return run_one
+
+
+def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
+                            interpret: bool = False):
+    """Whole-training-run kernel. Returns
+    run(params, trajs (B,T,N,25), controls (B,T,4), opt_state=None) ->
+    (params', losses (n_epochs,), opt_state') — numerically matching
+    training.train.make_epoch_scan driven by make_optimizer(cfg).
+
+    cfg: TrainConfig (lr, weight_decay, keypoints, clamp_weights,
+    plateau_*). opt_state: None for a fresh run, or the opaque dict a
+    previous call returned — chunked runs compose exactly (global Adam
+    step count, plateau best/count/scale, and moments all round-trip)."""
+    run_one = _make_run_one(spec, cfg, n_epochs, interpret)
+
+    @jax.jit
+    def run(params, trajs, controls, opt_state=None):
+        if opt_state is None:
+            opt_state = _fresh_state(params)
+        return run_one(p, params, trajs, controls, opt_state)
+
+    return run
+
+
+def make_fused_grid_training_run(spec: MLPSpec, cfg, n_epochs: int,
+                                 interpret: bool = False):
+    """Multitrain version: run(rods, params, trajs, controls,
+    opt_state=None) with every argument stacked along a leading grid axis
+    G — rods a stacked RodParams pytree, params a stacked init_mlp pytree,
+    trajs (G, B, T, N, 25), controls (G, B, T, 4). ``jax.vmap`` lifts the
+    pallas_call to a grid over experiment cells: the whole
+    (data x mod x seed) sweep runs as ONE compiled program. Returns
+    (params' stacked, losses (G, n_epochs), opt_state' stacked)."""
+    run_one = _make_run_one(spec, cfg, n_epochs, interpret)
+    vrun = jax.vmap(run_one)
+
+    @jax.jit
+    def run(rods, params, trajs, controls, opt_state=None):
+        if opt_state is None:
+            opt_state = jax.vmap(_fresh_state)(params)
+        return vrun(rods, params, trajs, controls, opt_state)
 
     return run

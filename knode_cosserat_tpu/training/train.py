@@ -54,6 +54,12 @@ class TrainConfig:
     log_every: int = 10
     checkpoint_every: int = 500             # physics_train.py:386
     dtype: str = "float32"
+    # fused whole-training-run Pallas kernel (ops/pallas_train.py):
+    #   "auto"      use it when supported AND the backend is TPU
+    #   "on"        force (compiles the kernel on whatever backend)
+    #   "interpret" force in interpret mode (CPU parity testing)
+    #   "off"       always use the XLA epoch scan
+    fused: str = "auto"
 
     def spec(self) -> MLPSpec:
         return MLPSpec.for_knode(self.hidden, self.history, self.activation)
@@ -69,6 +75,29 @@ class TrainResult:
     spec: MLPSpec
     config: TrainConfig
     epochs_per_sec: float = 0.0
+
+
+def _resolve_fused(cfg: TrainConfig, spec: MLPSpec, n_cells: int, mesh):
+    """Map cfg.fused -> None (XLA epoch scan) | "on" | "interpret"."""
+    mode = getattr(cfg, "fused", "auto")
+    forced = mode in ("on", "interpret")
+    if mode == "off":
+        return None
+    if mesh is not None or jnp.dtype(cfg.dtype) != jnp.float32:
+        if forced:
+            raise ValueError(f"cfg.fused={mode!r}: the fused trainer is "
+                             "single-device float32")
+        return None
+    from ..ops.pallas_train import fused_trainer_supported
+    if not fused_trainer_supported(spec, n_cells, cfg.weight_decay):
+        if forced:
+            raise ValueError(f"cfg.fused={mode!r} but the fused trainer "
+                             f"does not support this config "
+                             f"(spec={spec}, n_cells={n_cells})")
+        return None
+    if forced:
+        return mode
+    return "on" if jax.default_backend() == "tpu" else None
 
 
 def make_optimizer(cfg: TrainConfig):
@@ -160,16 +189,55 @@ def make_epoch_scan(p: RodParams, spec: MLPSpec, optimizer,
     return run
 
 
+def _default_tol(dtype) -> float:
+    """Newton tolerance on sum(r^2): 1e-16 is below f32 resolution, which
+    would make every solve run to max_iter; pick by dtype instead."""
+    return 1e-16 if jnp.dtype(dtype) == jnp.float64 else 1e-10
+
+
 @partial(jax.jit, static_argnames=("spec", "method", "max_iter"))
-def rollout_with_nn(p: RodParams, controls, spec: MLPSpec, nn_params,
-                    method: str = "euler", tol: float = 1e-16,
-                    max_iter: int = 50):
-    """Closed-loop rollout with the hybrid (physics + MLP) RHS — replaces
-    the reference's numpy NN shim re-execution (cosserat_ode.py:81-112 +
-    physics_train.py:139-144): one core, no torch->numpy export."""
+def _rollout_with_nn_xla(p, controls, spec, nn_params, method, tol, max_iter):
     nn_fn = bind(spec, nn_params)
     return simulate_scan(p, controls, nn_fn=nn_fn, nn_history=spec.history,
                          method=method, tol=tol, max_iter=max_iter).traj
+
+
+def rollout_with_nn(p: RodParams, controls, spec: MLPSpec, nn_params,
+                    method: str = "euler", tol: Optional[float] = None,
+                    max_iter: int = 50, impl: str = "xla"):
+    """Closed-loop rollout with the hybrid (physics + MLP) RHS — replaces
+    the reference's numpy NN shim re-execution (cosserat_ode.py:81-112 +
+    physics_train.py:139-144): one core, no torch->numpy export.
+
+    impl="mega" routes through the mega step kernel (the whole Newton
+    shooting solve in one Pallas launch per time step,
+    core.fast_rollout/ops.pallas_step) — ~8x the XLA scan on TPU; the
+    converged trajectory matches to solver tolerance."""
+    if tol is None:
+        tol = _default_tol(p.dtype)
+    if impl == "mega":
+        from ..core.fast_rollout import make_fast_rollout
+        roll = _mega_rollout_cached(p, spec, tol, max_iter, method)
+        traj, _, _ = roll(jnp.asarray(controls, p.dtype)[None], nn_params)
+        return traj[0]
+    return _rollout_with_nn_xla(p, controls, spec, nn_params, method, tol,
+                                max_iter)
+
+
+_MEGA_CACHE: dict = {}
+
+
+def _mega_rollout_cached(p: RodParams, spec, tol, max_iter, method):
+    """One jitted mega-kernel rollout per (rod-id, spec, tol) — repeated
+    eval calls (eval_every boundaries, eval sweeps) reuse the compile."""
+    key = (id(p), spec, float(tol), int(max_iter), method)
+    fn = _MEGA_CACHE.get(key)
+    if fn is None:
+        from ..core.fast_rollout import make_fast_rollout
+        fn = jax.jit(make_fast_rollout(p, spec, tol=tol, max_iter=max_iter,
+                                       impl="mega", method=method))
+        _MEGA_CACHE[key] = fn
+    return fn
 
 
 def train_knode(
@@ -242,12 +310,28 @@ def train_knode(
     do_eval = (validation_controls is not None
                and validation_reference is not None)
 
-    # Epochs run on device in chunks via lax.scan (zero host dispatch);
-    # the host only intervenes at eval/log boundaries.
+    # Epochs run on device in chunks (zero per-epoch host dispatch); the
+    # host only intervenes at eval/log boundaries. When the fused
+    # whole-training-run Pallas kernel supports the config (cfg.fused), each
+    # chunk is ONE kernel launch; otherwise an XLA lax.scan over epochs.
+    # The optax chain state stays canonical either way — fused chunks
+    # convert through fused_state_from_optax/optax_state_from_fused, so
+    # checkpoints, resume, and mixed fused/XLA runs all compose.
+    n_cells = int(trajs.shape[0] * (trajs.shape[1] - 1)
+                  * len(cfg.keypoints))
+    fused_mode = _resolve_fused(cfg, spec, n_cells, mesh)
     chunk = cfg.eval_every if do_eval else max(cfg.log_every, 1)
     chunk = max(1, min(chunk, cfg.epochs + 1))
-    run_chunk = make_epoch_scan(p_mod, spec, optimizer, cfg.keypoints,
-                                cfg.clamp_weights, chunk)
+    if fused_mode:
+        from ..ops.pallas_train import (fused_state_from_optax,
+                                        make_fused_training_run,
+                                        optax_state_from_fused)
+        make_runner = lambda n: make_fused_training_run(
+            p_mod, spec, cfg, n, interpret=fused_mode == "interpret")
+    else:
+        make_runner = lambda n: make_epoch_scan(
+            p_mod, spec, optimizer, cfg.keypoints, cfg.clamp_weights, n)
+    run_chunk = make_runner(chunk)
 
     loss_hist = list(resumed_loss)
     dtw_hist = []
@@ -279,10 +363,15 @@ def train_knode(
                 best_dtw, best_params = d, jax.tree.map(lambda x: x, params)
 
         n = min(chunk, cfg.epochs + 1 - epoch)
-        runner = run_chunk if n == chunk else make_epoch_scan(
-            p_mod, spec, optimizer, cfg.keypoints, cfg.clamp_weights, n)
-        params, opt_state, losses = runner(params, opt_state, trajs,
-                                           controls_a)
+        runner = run_chunk if n == chunk else make_runner(n)
+        if fused_mode:
+            fstate = fused_state_from_optax(opt_state)
+            params, losses, fstate = runner(params, trajs, controls_a,
+                                            fstate)
+            opt_state = optax_state_from_fused(fstate, opt_state)
+        else:
+            params, opt_state, losses = runner(params, opt_state, trajs,
+                                               controls_a)
         losses = np.asarray(losses)
         loss_hist.extend(float(x) for x in losses)
         if t0_compiled is None:

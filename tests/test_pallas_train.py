@@ -89,6 +89,158 @@ def test_fused_training_loss_decreases():
     assert l[-1] < l[0] * 0.5
 
 
+def test_fused_training_weight_decay_matches_adamw():
+    """In-kernel AdamW (decoupled decay inside the lr*scale step) == the
+    optax.adamw chain — the train-real config (wd=0.1) qualifies for the
+    fused path."""
+    epochs = 30
+    p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=epochs,
+                                                   weight_decay=0.1)
+    assert fused_trainer_supported(spec, 8, weight_decay=0.1)
+    run = make_fused_training_run(p_mod, spec, cfg, epochs, interpret=True)
+    p_fused, l_fused, _ = run(params, trajs, ctls)
+    p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
+    np.testing.assert_allclose(np.asarray(l_fused), l_xla, rtol=2e-4,
+                               atol=1e-9)
+    for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_xla)):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), rtol=3e-3,
+                                   atol=3e-5)
+
+
+def test_fused_training_cell_tiling(monkeypatch):
+    """Cells beyond one VMEM tile accumulate across the in-kernel tile loop
+    — force multi-tile with a tiny CELL_TILE and pin parity."""
+    import knode_cosserat_tpu.ops.pallas_train as pt
+    monkeypatch.setattr(pt, "CELL_TILE", 128)
+    epochs = 20
+    p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=epochs)
+    n_cells = trajs.shape[0] * (trajs.shape[1] - 1) * 4
+    assert n_cells > 0
+    run = pt.make_fused_training_run(p_mod, spec, cfg, epochs,
+                                     interpret=True)
+    p_fused, l_fused, _ = run(params, trajs, ctls)
+    p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
+    np.testing.assert_allclose(np.asarray(l_fused), l_xla, rtol=2e-4,
+                               atol=1e-9)
+    for a, b in zip(jax.tree.leaves(p_fused), jax.tree.leaves(p_xla)):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), rtol=3e-3,
+                                   atol=3e-5)
+
+
+def test_fused_optax_state_conversion_roundtrip():
+    """XLA epochs -> convert to fused -> fused epochs -> convert back ==
+    one uninterrupted XLA run: the converters make the optax chain state
+    canonical across both trainers."""
+    from knode_cosserat_tpu.ops.pallas_train import (
+        fused_state_from_optax, optax_state_from_fused)
+
+    total, first = 24, 9
+    p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=total,
+                                                   plateau_patience=4)
+    opt = make_optimizer(cfg)
+    opt_state = opt.init(params)
+    run_first = make_epoch_scan(p_mod, spec, opt, cfg.keypoints,
+                                cfg.clamp_weights, first)
+    p_mid, opt_mid, l_first = run_first(params, opt_state, trajs, ctls)
+
+    fstate = fused_state_from_optax(opt_mid)
+    run_rest = make_fused_training_run(p_mod, spec, cfg, total - first,
+                                       interpret=True)
+    p_end, l_rest, fstate = run_rest(p_mid, trajs, ctls, fstate)
+    opt_back = optax_state_from_fused(fstate, opt_mid)
+    # structure survives the round-trip (jit/scan over it would fail else)
+    assert (jax.tree.structure(opt_back) == jax.tree.structure(opt_mid))
+
+    p_ref, l_ref = _run_xla(p_mod, cfg, spec, params, trajs, ctls, total)
+    np.testing.assert_allclose(
+        np.concatenate([np.asarray(l_first), np.asarray(l_rest)]), l_ref,
+        rtol=5e-4, atol=1e-9)
+    for a, b in zip(jax.tree.leaves(p_end), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), rtol=3e-3,
+                                   atol=3e-5)
+    # continuing on the XLA path from the converted state also matches
+    run_more = make_epoch_scan(p_mod, spec, opt, cfg.keypoints,
+                               cfg.clamp_weights, 3)
+    _, _, l_more = run_more(p_end, opt_back, trajs, ctls)
+    assert np.isfinite(np.asarray(l_more)).all()
+
+
+def test_train_knode_fused_is_the_trainer():
+    """The PRODUCT trainer (train_knode with eval + best-DTW) rides the
+    fused kernel when cfg.fused forces it — and matches the XLA path."""
+    from knode_cosserat_tpu import apply_mod as am
+    from knode_cosserat_tpu.training import (make_validation_reference,
+                                             train_knode)
+
+    ref = am(None)
+    p_mod = am("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5), ("sine", 1.0)],
+                                     train_len=8)
+    trajs = np.asarray(trajs, np.float32)
+    ctls = np.asarray(ctls, np.float32)
+    vc, vr = make_validation_reference(ref, ("sine", 1.25), eval_len=6)
+    kw = dict(epochs=8, hidden=32, dtype="float32", seed=0, eval_every=4,
+              eval_len=6, log_every=1000)
+    res_f = train_knode(p_mod, trajs, ctls,
+                        TrainConfig(fused="interpret", **kw), vc, vr,
+                        eval_rod=p_mod, log=None)
+    res_x = train_knode(p_mod, trajs, ctls, TrainConfig(fused="off", **kw),
+                        vc, vr, eval_rod=p_mod, log=None)
+    np.testing.assert_allclose(res_f.loss_history, res_x.loss_history,
+                               rtol=5e-4, atol=1e-9)
+    assert len(res_f.dtw_history) == len(res_x.dtw_history)
+    np.testing.assert_allclose([d for _, d in res_f.dtw_history],
+                               [d for _, d in res_x.dtw_history], rtol=1e-3)
+    for a, b in zip(jax.tree.leaves(res_f.params),
+                    jax.tree.leaves(res_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=3e-3,
+                                   atol=3e-5)
+
+
+def test_fused_grid_training_matches_per_model():
+    """The vmapped grid kernel == each model trained alone with its own
+    fused run (rod scalars ride the per-lane scalar row)."""
+    from knode_cosserat_tpu import apply_mod as am
+    from knode_cosserat_tpu.ops.pallas_train import (
+        make_fused_grid_training_run)
+
+    epochs = 10
+    ref = am(None)
+    trajs, ctls = make_training_data(ref, [("sine", 0.5), ("sine", 1.0)],
+                                     train_len=8)
+    trajs = jnp.asarray(np.asarray(trajs), jnp.float32)
+    ctls = jnp.asarray(np.asarray(ctls), jnp.float32)
+    cfg = TrainConfig(epochs=epochs, hidden=32, dtype="float32")
+    spec = cfg.spec()
+    mods = ["nsw", "short"]          # "short" changes L -> per-rod ds
+    rods = [am(m) for m in mods]
+    params = [init_mlp(spec, jax.random.PRNGKey(s), jnp.float32)
+              for s in range(len(mods))]
+
+    rods_st = jax.tree.map(lambda *xs: jnp.stack(xs), *rods)
+    params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+    trajs_st = jnp.stack([trajs] * len(mods))
+    ctls_st = jnp.stack([ctls] * len(mods))
+
+    grid_run = make_fused_grid_training_run(spec, cfg, epochs,
+                                            interpret=True)
+    pg, lg, _ = grid_run(rods_st, params_st, trajs_st, ctls_st)
+
+    for i, (rod, p0) in enumerate(zip(rods, params)):
+        run = make_fused_training_run(rod, spec, cfg, epochs,
+                                      interpret=True)
+        p1, l1, _ = run(p0, trajs, ctls)
+        np.testing.assert_allclose(np.asarray(lg)[i], np.asarray(l1),
+                                   rtol=1e-6, atol=1e-12)
+        for a, b in zip(jax.tree.leaves(jax.tree.map(lambda x: x[i], pg)),
+                        jax.tree.leaves(p1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-9)
+
+
 def test_fused_training_chunked_resume():
     """Two chunked fused runs with opt-state round-trip == one long run
     (global Adam step count, plateau state, moments all compose)."""
