@@ -113,6 +113,39 @@ def grid_train(
     params = _stack_pytrees([
         init_mlp(spec, jax.random.PRNGKey(c.seed), dtype) for c in cells])
 
+    # --- fused whole-training-run path: the entire grid in ONE compiled
+    # program, every (rod, params, data) cell a vmap lane of the Pallas
+    # whole-run kernel (zero per-epoch AND per-cell dispatch). Chunked at
+    # log_every via the opaque opt-state round-trip. cfg.fused semantics
+    # match training.train (auto = only on TPU backend).
+    from ..training.train import _resolve_fused
+    n_cells_model = int(trajs.shape[1] * (trajs.shape[2] - 1)
+                        * len(cfg.keypoints))
+    fused_mode = _resolve_fused(cfg, spec, n_cells_model, mesh)
+    if fused_mode:
+        from ..ops.pallas_train import make_fused_grid_training_run
+        interp = fused_mode == "interpret"
+        make_run_fused = lambda n: make_fused_grid_training_run(
+            spec, cfg, n, interpret=interp)
+        chunk = max(1, min(cfg.log_every, cfg.epochs))
+        run_chunk = make_run_fused(chunk)
+        losses: list = []
+        state = None
+        done = 0
+        while done < cfg.epochs:
+            n = min(chunk, cfg.epochs - done)
+            runner = run_chunk if n == chunk else make_run_fused(n)
+            params, ls, state = runner(rods, params, trajs, ctls, state)
+            losses.extend(np.asarray(ls).T)   # (G, n) -> n rows of (G,)
+            done += n
+            if log:
+                log(f"epoch {done - 1} losses {losses[-1]}")
+        flat = jax.device_get(params)
+        per_cell = [jax.tree.map(lambda x, i=i: x[i], flat)
+                    for i in range(len(cells))]
+        return GridResult(cells=list(cells), params=per_cell,
+                          loss_history=np.asarray(losses), spec=spec)
+
     optimizer = make_optimizer(cfg)
     opt_state = jax.vmap(optimizer.init)(params)
 

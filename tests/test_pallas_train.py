@@ -241,6 +241,29 @@ def test_fused_grid_training_matches_per_model():
                                        rtol=1e-6, atol=1e-9)
 
 
+def test_grid_train_fused_matches_xla():
+    """parallel.grid.grid_train rides the vmapped fused kernel when
+    cfg.fused forces it — whole-grid results match the XLA vmap path."""
+    import dataclasses
+
+    from knode_cosserat_tpu import apply_mod as am
+    from knode_cosserat_tpu.parallel import build_grid, grid_train
+
+    ref = am(None)
+    cells = build_grid(["sine 0.5"], ["nsw", "youngs"], 2)
+    kw = dict(epochs=4, hidden=16, dtype="float32", log_every=2)
+    res_f = grid_train(cells, TrainConfig(fused="interpret", **kw),
+                       reference_rod=ref, train_len=6)
+    res_x = grid_train(cells, TrainConfig(fused="off", **kw),
+                       reference_rod=ref, train_len=6)
+    np.testing.assert_allclose(res_f.loss_history, res_x.loss_history,
+                               rtol=5e-4, atol=1e-9)
+    for pf, px in zip(res_f.params, res_x.params):
+        for a, b in zip(jax.tree.leaves(pf), jax.tree.leaves(px)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=3e-3, atol=3e-5)
+
+
 def test_fused_training_chunked_resume():
     """Two chunked fused runs with opt-state round-trip == one long run
     (global Adam step count, plateau state, moments all compose)."""
