@@ -116,6 +116,7 @@ def cmd_simulate(args):
         controls = calc_controls(args.type, args.arg, float(p.del_t),
                                  args.steps)
     if args.model:
+        import jax
         import jax.numpy as jnp
         ckpt, meta = load_checkpoint(args.model)
         hidden = meta.get("train", {}).get("hidden", 512)
@@ -123,8 +124,12 @@ def cmd_simulate(args):
         params = tuple({"w": jnp.asarray(l["w"], p.dtype),
                         "b": jnp.asarray(l["b"], p.dtype)}
                        for l in ckpt["params"])
+        # --model --fast composes: the hybrid rollout rides the mega step
+        # kernel (whole Newton solve per launch) on TPU
+        impl = ("mega" if (args.fast and jax.default_backend() != "cpu")
+                else "xla")
         traj = np.asarray(rollout_with_nn(p, jnp.asarray(controls, p.dtype),
-                                          spec, params))
+                                          spec, params, impl=impl))
     elif args.fast:
         import jax
         import jax.numpy as jnp
@@ -351,7 +356,8 @@ def main(argv=None):
     sp.add_argument("--model", type=str, default=None)
     sp.add_argument("--real_data", type=str, default=None)
     sp.add_argument("--fast", action="store_true",
-                    help="fused-sweep Pallas rollout (TPU)")
+                    help="mega-kernel Pallas rollout (TPU); composes "
+                         "with --model for hybrid rollouts")
     sp.add_argument("--save", type=str, default="data/quick_test.npz")
     sp.add_argument("--gif", type=str, default=None)
     sp.set_defaults(fn=cmd_simulate)

@@ -62,6 +62,41 @@ def _batched_nn_rollouts(rods, spec: MLPSpec, params_stacked, controls):
     return jax.jit(jax.vmap(one))(rods, params_stacked)
 
 
+_MEGA_EVAL_CACHE: dict = {}
+
+
+def _mega_nn_rollouts(cells, spec: MLPSpec, params_list, controls,
+                      original: bool, interpret: bool = False):
+    """Hybrid eval rollouts on the mega step kernel (ops/pallas_step.py):
+    cells grouped by mod (one kernel per unique rod, cached), the group's
+    per-cell MLP params vmapped over the kernel — the Pallas batching rule
+    lifts the whole-Newton-solve launch over the cell axis. Returns trajs
+    ordered like ``cells``."""
+    from ..core.fast_rollout import make_fast_rollout
+    from ..training.train import _default_tol
+
+    out = [None] * len(cells)
+    by_mod: Dict[Optional[str], list] = {}
+    for i, c in enumerate(cells):
+        by_mod.setdefault(c.mod, []).append(i)
+    for mod, idxs in by_mod.items():
+        rod = apply_mod(mod, original=original)
+        key = (mod, original, spec, interpret, controls.shape)
+        roll = _MEGA_EVAL_CACHE.get(key)
+        if roll is None:
+            roll = jax.jit(jax.vmap(
+                make_fast_rollout(rod, spec, tol=_default_tol(rod.dtype),
+                                  impl="mega", interpret=interpret),
+                in_axes=(None, 0)))
+            _MEGA_EVAL_CACHE[key] = roll
+        params_st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                 *[params_list[i] for i in idxs])
+        trajs, _, _ = roll(controls[None], params_st)   # (G, 1, T, N, 50)
+        for j, i in enumerate(idxs):
+            out[i] = trajs[j, 0]
+    return jnp.stack(out)
+
+
 def evaluate_cells(
     cells,                       # Sequence[GridCell]
     params_list,                 # per-cell MLP params
@@ -72,14 +107,35 @@ def evaluate_cells(
     original: bool = False,
     save_dir: Optional[str] = None,
     keep_arrays: bool = False,
+    impl: str = "auto",
+    dtw_impl: str = "device",
 ) -> List[EvalRecord]:
     """Roll out every trained cell + every no-NN baseline on every eval
     schedule; score DTW + pose MSE with % change vs the baseline of the same
-    mod (physics_multitrain.py:178-233)."""
+    mod (physics_multitrain.py:178-233).
+
+    impl: "auto" (mega step kernel on TPU, XLA scan elsewhere), "mega",
+    "mega-interpret" (CPU testing), or "xla". dtw_impl: "device" scores the
+    whole batch with the exact anti-diagonal-wavefront DTW (ops/dtw.py) in
+    one program; "host" keeps the per-cell fastdtw approximation (the
+    reference's metric — equal on these smooth tip trajectories, pinned by
+    tests/test_framework.py)."""
+    if impl == "auto":
+        impl = "mega" if jax.default_backend() == "tpu" else "xla"
     if reference_rod is None:
         reference_rod = apply_mod(None, original=original)
     dtype = reference_rod.dtype
     eval_data = make_eval_data(reference_rod, eval_set, eval_len)
+
+    def score_dtw(trajs_b, ref_traj):
+        """(B, T, N, >=25) predicted batch -> list of B DTW distances."""
+        if dtw_impl == "device":
+            from ..ops.dtw import tip_dtw_device
+            return [float(d) for d in np.asarray(tip_dtw_device(
+                jnp.asarray(trajs_b)[:, :, :, :25],
+                jnp.asarray(ref_traj)))]
+        return [tip_dtw(np.asarray(t)[:, :, :25], ref_traj)
+                for t in trajs_b]
 
     mods = sorted({c.mod for c in cells}, key=str)
     records: List[EvalRecord] = []
@@ -94,8 +150,8 @@ def evaluate_cells(
                               *[apply_mod(m, original=original) for m in mods])
         base_trajs = jax.jit(jax.vmap(
             lambda rod: simulate_scan(rod, controls).traj))(rods_b)
-        for mod, traj in zip(mods, np.asarray(base_trajs)):
-            dtw = tip_dtw(traj[:, :, :25], ref_traj)
+        base_dtws = score_dtw(base_trajs, ref_traj)
+        for mod, traj, dtw in zip(mods, np.asarray(base_trajs), base_dtws):
             mse = pose_mse(traj[:, :, :25], ref_traj)
             baselines[(eval_name, mod)] = {"dtw": dtw, "mse": mse}
             records.append(_record(f"baseline {mod}", eval_name, dtw, mse,
@@ -104,14 +160,21 @@ def evaluate_cells(
 
         # --- trained cells, batched ---
         if cells:
-            rods_c = jax.tree.map(
-                lambda *xs: jnp.stack(xs),
-                *[apply_mod(c.mod, original=original) for c in cells])
-            params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params_list)
-            cell_trajs = np.asarray(_batched_nn_rollouts(
-                rods_c, spec, params_st, controls))
-            for cell, traj in zip(cells, cell_trajs):
-                dtw = tip_dtw(traj[:, :, :25], ref_traj)
+            if impl.startswith("mega"):
+                cell_trajs_d = _mega_nn_rollouts(
+                    cells, spec, params_list, controls, original,
+                    interpret=impl == "mega-interpret")
+            else:
+                rods_c = jax.tree.map(
+                    lambda *xs: jnp.stack(xs),
+                    *[apply_mod(c.mod, original=original) for c in cells])
+                params_st = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                         *params_list)
+                cell_trajs_d = _batched_nn_rollouts(
+                    rods_c, spec, params_st, controls)
+            cell_dtws = score_dtw(cell_trajs_d, ref_traj)
+            cell_trajs = np.asarray(cell_trajs_d)
+            for cell, traj, dtw in zip(cells, cell_trajs, cell_dtws):
                 mse = pose_mse(traj[:, :, :25], ref_traj)
                 base = baselines[(eval_name, cell.mod)]
                 records.append(_record(

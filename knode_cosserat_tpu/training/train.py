@@ -60,6 +60,11 @@ class TrainConfig:
     #   "interpret" force in interpret mode (CPU parity testing)
     #   "off"       always use the XLA epoch scan
     fused: str = "auto"
+    # validation DTW metric: "device" = exact DTW via the anti-diagonal
+    # wavefront kernel (ops/dtw.py) — rollout and score stay on device;
+    # "host" = the reference's fastdtw approximation on host. Both select
+    # the same best epoch (tests/test_training.py pins it).
+    eval_dtw: str = "device"
 
     def spec(self) -> MLPSpec:
         return MLPSpec.for_knode(self.hidden, self.history, self.activation)
@@ -309,6 +314,10 @@ def train_knode(
     eval_rod = eval_rod if eval_rod is not None else p_mod
     do_eval = (validation_controls is not None
                and validation_reference is not None)
+    # validation rollouts ride the mega step kernel on TPU (one Newton
+    # shooting solve per launch); XLA scan elsewhere / under a mesh
+    eval_impl = ("mega" if (mesh is None
+                            and jax.default_backend() == "tpu") else "xla")
 
     # Epochs run on device in chunks (zero per-epoch host dispatch); the
     # host only intervenes at eval/log boundaries. When the fused
@@ -354,8 +363,15 @@ def train_knode(
                 traj = rollout_with_nn(eval_rod,
                                        jnp.asarray(validation_controls,
                                                    eval_rod.dtype),
-                                       spec, nn_p)
-            d = tip_dtw(np.asarray(traj)[:, :, :25], validation_reference)
+                                       spec, nn_p, impl=eval_impl)
+            if cfg.eval_dtw == "device":
+                from ..ops.dtw import tip_dtw_device
+                d = float(tip_dtw_device(
+                    jnp.asarray(traj)[None, :, :, :25],
+                    jnp.asarray(validation_reference))[0])
+            else:
+                d = tip_dtw(np.asarray(traj)[:, :, :25],
+                            validation_reference)
             dtw_hist.append((epoch, d))
             if log:
                 log(f"Validation DTW Distance XYZ {d}")

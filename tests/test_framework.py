@@ -117,6 +117,30 @@ def test_evaluate_cells_and_table(tmp_path):
     assert len(list(tmp_path.glob("*.npz"))) == 2
 
 
+def test_evaluate_cells_mega_and_dtw_impls(tmp_path):
+    """Eval sweeps on the mega step kernel (interpret) == the XLA scan, and
+    device-DTW scoring == the host fastdtw metric on these trajectories."""
+    cells = build_grid(["sine 0.5"], ["nsw", "youngs"], 1)
+    spec = MLPSpec.for_knode(16)
+    params = [jax.tree.map(lambda x: x * 1e-3,
+                           init_mlp(spec, jax.random.PRNGKey(s),
+                                    jnp.float64)) for s in range(2)]
+    kw = dict(eval_len=10, keep_arrays=True)
+    recs_xla = evaluate_cells(cells, params, spec, ["sine 1.5"],
+                              impl="xla", dtw_impl="host", **kw)
+    recs_mega = evaluate_cells(cells, params, spec, ["sine 1.5"],
+                               impl="mega-interpret", dtw_impl="device",
+                               **kw)
+    assert len(recs_xla) == len(recs_mega)
+    for rx, rm in zip(recs_xla, recs_mega):
+        assert rx.label == rm.label
+        # converged rollouts agree to solver tolerance; exact device DTW
+        # == host fastdtw on these smooth short tip trajectories
+        np.testing.assert_allclose(rm.dtw, rx.dtw, rtol=1e-5, atol=1e-10)
+        np.testing.assert_allclose(rm.predicted, rx.predicted, rtol=1e-5,
+                                   atol=1e-8)
+
+
 def test_tip_generalization_plot(tmp_path):
     """C11 closure: the per-mod tip-X figure renders from saved eval records
     (physics_multigraphs.py:186-231)."""

@@ -136,6 +136,51 @@ def test_hybrid_rollout_runs():
     assert np.all(np.isfinite(traj))
 
 
+def test_eval_dtw_device_matches_host_selection():
+    """train_knode's on-device exact validation DTW selects the same best
+    epoch as the reference's host fastdtw, and values agree on these smooth
+    tip trajectories."""
+    from knode_cosserat_tpu.training import make_validation_reference
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=8)
+    vc, vr = make_validation_reference(ref, ("sine", 1.25), eval_len=8)
+    kw = dict(epochs=6, hidden=32, dtype="float64", eval_every=2,
+              log_every=1000)
+    res_d = train_knode(p_mod, trajs, ctls,
+                        TrainConfig(eval_dtw="device", **kw), vc, vr,
+                        eval_rod=p_mod, log=None)
+    res_h = train_knode(p_mod, trajs, ctls,
+                        TrainConfig(eval_dtw="host", **kw), vc, vr,
+                        eval_rod=p_mod, log=None)
+    dd = np.array([d for _, d in res_d.dtw_history])
+    dh = np.array([d for _, d in res_h.dtw_history])
+    np.testing.assert_allclose(dd, dh, rtol=1e-6)
+    assert np.argmin(dd) == np.argmin(dh)
+    assert res_d.best_dtw == pytest.approx(res_h.best_dtw, rel=1e-6)
+
+
+def test_rollout_with_nn_mega_matches_xla():
+    """The mega-kernel hybrid rollout (interpret) == the XLA scan rollout
+    to solver tolerance — the eval fast path is trustworthy."""
+    from knode_cosserat_tpu import calc_controls
+    from knode_cosserat_tpu.core.fast_rollout import make_fast_rollout
+
+    p = apply_mod("nsw", dtype=jnp.float64)
+    spec = MLPSpec.for_knode(16)
+    params = jax.tree.map(lambda x: x * 0.01,
+                          init_mlp(spec, jax.random.PRNGKey(0),
+                                   jnp.float64))
+    ctl = jnp.asarray(calc_controls("sine", 1.0, float(p.del_t), 6))
+    xla = np.asarray(rollout_with_nn(p, ctl, spec, params))
+    roll = jax.jit(make_fast_rollout(p, spec, tol=1e-16, impl="mega",
+                                     interpret=True))
+    mega, _, _ = roll(ctl[None], params)
+    np.testing.assert_allclose(np.asarray(mega)[0], xla, rtol=1e-6,
+                               atol=1e-9)
+
+
 def test_gradients_nonzero_for_all_layers():
     ref = apply_mod(None)
     p_mod = apply_mod("youngs")
