@@ -7,16 +7,22 @@ a {name=value} header block and a data blob (http://wiki.ros.org/Bags/
 Format/2.0). This module implements
 
   - ``BagReader`` / ``read_bag_native``: sequential record scan (indexes are
-    ignored — robust to unindexed/crashed bags), 'none' and 'bz2' chunk
-    compression, and deserializers for the three message types the pipeline
-    uses: geometry_msgs/PoseStamped, geometry_msgs/QuaternionStamped,
-    rosgraph_msgs/Log. Output mirrors bagpy's flattened-column DataFrames
-    ('pose.position.x', 'quaternion.w', 'msg', ...) so the rest of the
-    ingestion code (bag.py) is byte-for-byte agnostic to the loader.
-  - ``BagWriter``: writes spec-compliant v2.0 bags (bag header with index
-    position, connection records, one 'none'-compressed chunk, index data
+    ignored — robust to unindexed/crashed bags), 'none', 'bz2' AND 'lz4'
+    chunk compression (lz4 via a pure-Python LZ4-frame decoder below — the
+    most common `rosbag record` compression in the wild, prepare.py:173-199
+    reads it through bagpy), and deserializers for the three message types
+    the pipeline uses: geometry_msgs/PoseStamped,
+    geometry_msgs/QuaternionStamped, rosgraph_msgs/Log. Output mirrors
+    bagpy's flattened-column DataFrames ('pose.position.x', 'quaternion.w',
+    'msg', ...) so the rest of the ingestion code (bag.py) is byte-for-byte
+    agnostic to the loader.
+  - ``BagWriter``: writes spec-compliant v2.0 bags (bag header record
+    padded with 0x20 in its DATA section exactly like rosbag's own writer,
+    connection records, one chunk — 'none', 'bz2' or 'lz4' — index data
     and chunk info records) so recordings made by the SIL/hardware bridge
     are readable by standard ROS tooling as well as by this reader.
+    Byte-level framing is pinned against the published format spec
+    (http://wiki.ros.org/Bags/Format/2.0) by tests/test_rosbag_native.py.
 """
 from __future__ import annotations
 
@@ -27,7 +33,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 import pandas as pd
 
-__all__ = ["BagReader", "BagWriter", "read_bag_native"]
+__all__ = ["BagReader", "BagWriter", "read_bag_native",
+           "lz4_frame_decompress", "lz4_frame_compress"]
 
 MAGIC = b"#ROSBAG V2.0\n"
 
@@ -46,6 +53,171 @@ MSG_TYPES = {
     "geometry_msgs/QuaternionStamped": "e57f1e547e0e1fd13504588ffc8334e2",
     "rosgraph_msgs/Log": "acffd30cd6b6de30f120938c17c593fb",
 }
+
+
+# ------------------------------------------------------------ lz4 (frame)
+#
+# roslz4 (the compressor behind `rosbag record --lz4`) writes the public
+# LZ4 Frame format: magic 0x184D2204, FLG/BD descriptor, then blocks of
+# [4-byte LE size | data] where the size's high bit marks a stored
+# (uncompressed) block, terminated by a zero EndMark. Block payloads are
+# LZ4 *block* format: sequences of (token, literals, 16-bit offset,
+# match). Implemented here in pure Python — no lz4 wheel on TPU hosts.
+# Spec: https://github.com/lz4/lz4/blob/dev/doc/lz4_Frame_format.md and
+# lz4_Block_format.md; decode parity is pinned by hand-derived spec
+# vectors in tests/test_rosbag_native.py.
+
+_LZ4_MAGIC = 0x184D2204
+
+
+def _lz4_block_decompress(src: bytes, dst: bytearray) -> None:
+    """Decode one LZ4 block into ``dst`` (appended). ``dst`` carries the
+    full decoded history, so matches that reach into earlier blocks
+    (block-dependent frames) resolve correctly."""
+    i, n = 0, len(src)
+    while i < n:
+        token = src[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = src[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        dst += src[i:i + lit]
+        i += lit
+        if i >= n:
+            break           # last sequence of the block has no match part
+        offset = src[i] | (src[i + 1] << 8)
+        i += 2
+        if offset == 0:
+            raise ValueError("corrupt lz4 block: zero match offset")
+        mlen = token & 15
+        if mlen == 15:
+            while True:
+                b = src[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(dst) - offset
+        if start < 0:
+            raise ValueError("corrupt lz4 block: offset before stream start")
+        if offset >= mlen:
+            dst += dst[start:start + mlen]
+        else:               # overlapping match: the pattern repeats
+            pattern = bytes(dst[start:])
+            reps = (mlen + offset - 1) // offset
+            dst += (pattern * reps)[:mlen]
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """Decode an LZ4 frame (the `rosbag record --lz4` chunk payload)."""
+    if len(data) < 7 or struct.unpack_from("<L", data, 0)[0] != _LZ4_MAGIC:
+        raise ValueError("not an LZ4 frame (bad magic)")
+    flg = data[4]
+    if (flg >> 6) != 1:
+        raise ValueError(f"unsupported LZ4 frame version {flg >> 6}")
+    block_checksum = bool(flg & 0x10)
+    content_size = bool(flg & 0x08)
+    dict_id = bool(flg & 0x01)
+    i = 6                                   # magic + FLG + BD
+    if content_size:
+        i += 8
+    if dict_id:
+        i += 4
+    i += 1                                  # header checksum byte
+    out = bytearray()
+    while True:
+        (bsize,) = struct.unpack_from("<L", data, i)
+        i += 4
+        if bsize == 0:                      # EndMark
+            break
+        stored = bool(bsize & 0x80000000)
+        bsize &= 0x7FFFFFFF
+        block = data[i:i + bsize]
+        i += bsize
+        if stored:
+            out += block
+        else:
+            _lz4_block_decompress(block, out)
+        if block_checksum:
+            i += 4
+    return bytes(out)
+
+
+def lz4_frame_compress(data: bytes) -> bytes:
+    """Encode ``data`` as a valid LZ4 frame of stored (uncompressed)
+    blocks — every LZ4 decoder (roslz4, the lz4 CLI, this module) reads
+    it. Used by BagWriter(compression='lz4'); ratio 1.0 by design (the
+    bag stays valid, the chunk plumbing is exercised)."""
+    flg = 0x60                              # version 01, block-independent
+    bd = 0x70                               # 4 MiB max block size
+    # header checksum: (xxh32(FLG+BD) >> 8) & 0xFF — hardcode via the
+    # one-shot xxh32 below so external readers accept the frame
+    hc = _xxh32(bytes([flg, bd])) >> 8 & 0xFF
+    out = bytearray(struct.pack("<L", _LZ4_MAGIC) + bytes([flg, bd, hc]))
+    maxb = 4 * 1024 * 1024
+    for off in range(0, len(data), maxb):
+        block = data[off:off + maxb]
+        out += struct.pack("<L", len(block) | 0x80000000) + block
+    out += struct.pack("<L", 0)             # EndMark
+    return bytes(out)
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """xxHash32 (one-shot) — needed only for the LZ4 frame header
+    checksum byte. Reference algorithm, 32-bit arithmetic."""
+    P1, P2, P3, P4, P5 = (2654435761, 2246822519, 3266489917,
+                          668265263, 374761393)
+    M = 0xFFFFFFFF
+
+    def rotl(x, r):
+        return ((x << r) | (x >> (32 - r))) & M
+
+    n = len(data)
+    i = 0
+    if n >= 16:
+        v1 = (seed + P1 + P2) & M
+        v2 = (seed + P2) & M
+        v3 = seed & M
+        v4 = (seed - P1) & M
+        while i <= n - 16:
+            for vi, v in enumerate((v1, v2, v3, v4)):
+                (lane,) = struct.unpack_from("<L", data, i + 4 * vi)
+                v = (v + lane * P2) & M
+                v = (rotl(v, 13) * P1) & M
+                if vi == 0:
+                    v1 = v
+                elif vi == 1:
+                    v2 = v
+                elif vi == 2:
+                    v3 = v
+                else:
+                    v4 = v
+            i += 16
+        h = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & M
+    else:
+        h = (seed + P5) & M
+    h = (h + n) & M
+    while i <= n - 4:
+        (lane,) = struct.unpack_from("<L", data, i)
+        h = (h + lane * P3) & M
+        h = (rotl(h, 17) * P4) & M
+        i += 4
+    while i < n:
+        h = (h + data[i] * P5) & M
+        h = (rotl(h, 11) * P1) & M
+        i += 1
+    h ^= h >> 15
+    h = (h * P2) & M
+    h ^= h >> 13
+    h = (h * P3) & M
+    h ^= h >> 16
+    return h
 
 
 # ---------------------------------------------------------------- helpers
@@ -200,6 +372,8 @@ class BagReader:
                 comp = header.get("compression", b"none").decode()
                 if comp == "bz2":
                     data = bz2.decompress(data)
+                elif comp == "lz4":
+                    data = lz4_frame_decompress(data)
                 elif comp != "none":
                     raise ValueError(f"unsupported chunk compression {comp}")
                 self._scan(data, 0, top_level=False)
@@ -258,13 +432,19 @@ def read_bag_native(path: str) -> Dict[str, pd.DataFrame]:
 # ------------------------------------------------------------------ writer
 
 class BagWriter:
-    """Spec-compliant rosbag v2.0 writer (single 'none' chunk + index).
+    """Spec-compliant rosbag v2.0 writer (single chunk + index).
 
     Used by the SIL chain and the hardware bridge to record experiments in
     the exact on-disk format the reference pipeline consumed, and by test
-    fixtures so bag ingestion is exercised against genuine binary bags."""
+    fixtures so bag ingestion is exercised against genuine binary bags.
 
-    def __init__(self, path: str):
+    compression: 'none' (default), 'bz2', or 'lz4' (stored-block LZ4
+    frame) — the chunk compressions `rosbag record` emits."""
+
+    def __init__(self, path: str, compression: str = "none"):
+        if compression not in ("none", "bz2", "lz4"):
+            raise ValueError(f"unsupported compression {compression!r}")
+        self._compression = compression
         self._path = path
         self._conn_ids: Dict[str, int] = {}
         self._conn_records: List[bytes] = []
@@ -341,19 +521,29 @@ class BagWriter:
         if self._closed:
             return
         self._closed = True
-        chunk_data = bytes(self._chunk)
+        raw = bytes(self._chunk)
+        if self._compression == "bz2":
+            chunk_data = bz2.compress(raw)
+        elif self._compression == "lz4":
+            chunk_data = lz4_frame_compress(raw)
+        else:
+            chunk_data = raw
         chunk_hdr = _pack_header({
             "op": bytes([OP_CHUNK]),
-            "compression": b"none",
-            "size": struct.pack("<L", len(chunk_data)),
+            "compression": self._compression.encode(),
+            "size": struct.pack("<L", len(raw)),   # UNcompressed size
         })
         chunk_rec = (struct.pack("<L", len(chunk_hdr)) + chunk_hdr
                      + struct.pack("<L", len(chunk_data)) + chunk_data)
 
         with open(self._path, "wb") as f:
             f.write(MAGIC)
-            # bag header record, padded to 4096 bytes (spec requirement)
-            chunk_pos = len(MAGIC) + 4096 + 8
+            # Bag header record padded to exactly 4096 bytes TOTAL, with
+            # the 0x20 padding in the DATA section (data_len = pad) —
+            # matching rosbag's own _write_file_header_record so standard
+            # ROS readers (which validate each length-prefixed header
+            # field) accept the file.
+            chunk_pos = len(MAGIC) + 4096
             index_pos = chunk_pos + len(chunk_rec) + sum(
                 # index data record length per connection
                 4 + len(self._idx_hdr(c)) + 4 + 12 * len(rows)
@@ -364,9 +554,9 @@ class BagWriter:
                 "conn_count": struct.pack("<L", len(self._conn_ids)),
                 "chunk_count": struct.pack("<L", 1),
             })
-            pad = 4096 - len(bag_hdr)
-            f.write(struct.pack("<L", len(bag_hdr) + pad) + bag_hdr
-                    + b" " * pad + struct.pack("<L", 0))
+            pad = 4096 - 8 - len(bag_hdr)
+            f.write(struct.pack("<L", len(bag_hdr)) + bag_hdr
+                    + struct.pack("<L", pad) + b" " * pad)
             f.write(chunk_rec)
             # index data records (one per connection, directly after chunk)
             for conn, rows in self._index.items():

@@ -174,6 +174,161 @@ def test_cli_prepare_on_binary_bag(tmp_path, capsys):
     assert data["traj"].shape[2] == 50 and np.isfinite(data["traj"]).all()
 
 
+def test_lz4_block_spec_vector():
+    """Hand-derived LZ4 block-format vector (lz4_Block_format.md): token
+    lit=4/match=12 (offset 4, overlapping copy) then a 5-literal tail —
+    the decoder is checked against the published spec, not against our own
+    compressor."""
+    from knode_cosserat_tpu.realworld.rosbag_io import _lz4_block_decompress
+
+    # seq1: token 0x48 (4 literals, matchlen 8+4=12), literals "abcd",
+    #       offset 4 -> copies "abcd" three times (overlap)
+    # seq2: token 0x50 (5 literals, end of block), literals "xyz12"
+    block = b"\x48abcd\x04\x00\x50xyz12"
+    out = bytearray()
+    _lz4_block_decompress(block, out)
+    assert bytes(out) == b"abcd" + b"abcd" * 3 + b"xyz12"
+
+    # extended literal/match lengths: lit=15+3=18, match=15+0+4=19, off=1
+    block2 = (b"\xff\x03" + b"A" * 18 + b"\x01\x00\x00"
+              + b"\x50tail!")
+    out2 = bytearray()
+    _lz4_block_decompress(block2, out2)
+    assert bytes(out2) == b"A" * 18 + b"A" * 19 + b"tail!"
+
+
+def test_lz4_frame_spec_vector_and_roundtrip():
+    """A hand-assembled LZ4 frame (magic, FLG/BD, compressed block,
+    EndMark) decodes per the frame spec; the stored-block compressor
+    round-trips arbitrary bytes."""
+    import struct
+
+    from knode_cosserat_tpu.realworld.rosbag_io import (
+        lz4_frame_compress, lz4_frame_decompress)
+
+    block = b"\x48abcd\x04\x00\x50xyz12"
+    frame = (struct.pack("<L", 0x184D2204) + bytes([0x60, 0x40, 0x82])
+             + struct.pack("<L", len(block)) + block
+             + struct.pack("<L", 0))
+    assert lz4_frame_decompress(frame) == b"abcdabcdabcdabcdxyz12"
+
+    payload = bytes(range(256)) * 41
+    assert lz4_frame_decompress(lz4_frame_compress(payload)) == payload
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"nope")
+
+
+@pytest.mark.parametrize("compression", ["none", "bz2", "lz4"])
+def test_bag_compressed_chunks_roundtrip(tmp_path, compression):
+    """BagReader ingests every chunk compression `rosbag record` emits —
+    the reference's bagpy path reads them transparently
+    (prepare.py:173-199)."""
+    path = str(tmp_path / f"c_{compression}.bag")
+    with BagWriter(path, compression=compression) as w:
+        for i in range(4):
+            w.write_quaternion("/tension", 5.0 + i, [1.0 + i, 2, 3, 4])
+    tables = read_bag_native(path)
+    np.testing.assert_allclose(tables["/tension"]["quaternion.x"],
+                               1.0 + np.arange(4))
+
+
+def test_writer_framing_matches_rosbag_spec(tmp_path):
+    """Byte-level check of BagWriter output against the published format
+    (http://wiki.ros.org/Bags/Format/2.0 + rosbag's own writer): the bag
+    header RECORD is exactly 4096 bytes with the 0x20 padding in the DATA
+    section (header_len == true header length, data_len == pad), so
+    standard ROS readers that validate length-prefixed header fields
+    accept the file. (Advisor r2: the old writer put the pad inside the
+    header section.)"""
+    import struct
+
+    path = str(tmp_path / "spec.bag")
+    with BagWriter(path) as w:
+        w.write_quaternion("/tension", 1.0, [1, 2, 3, 4])
+    raw = open(path, "rb").read()
+    magic = b"#ROSBAG V2.0\n"
+    assert raw.startswith(magic)
+    i = len(magic)
+    (hlen,) = struct.unpack_from("<L", raw, i)
+    header = raw[i + 4:i + 4 + hlen]
+    # every header field must parse as length-prefixed name=value
+    j, fields = 0, {}
+    while j < len(header):
+        (n,) = struct.unpack_from("<L", header, j)
+        entry = header[j + 4:j + 4 + n]
+        name, _, value = entry.partition(b"=")
+        fields[name.decode()] = value
+        j += 4 + n
+    assert j == len(header)            # no trailing garbage in the header
+    assert fields["op"] == bytes([0x03])
+    (dlen,) = struct.unpack_from("<L", raw, i + 4 + hlen)
+    pad = raw[i + 8 + hlen:i + 8 + hlen + dlen]
+    assert pad == b" " * dlen          # 0x20 padding in the DATA section
+    assert 4 + hlen + 4 + dlen == 4096  # record exactly 4096 bytes
+    # index_pos points at the post-chunk region inside the file
+    (index_pos,) = struct.unpack("<Q", fields["index_pos"])
+    assert len(magic) + 4096 < index_pos <= len(raw)
+    # the chunk record starts right after the 4096-byte bag header record
+    (chlen,) = struct.unpack_from("<L", raw, len(magic) + 4096)
+    chdr = raw[len(magic) + 4100:len(magic) + 4100 + chlen]
+    assert b"op=\x05" in chdr
+    # and the whole file still round-trips through the reader
+    tables = read_bag_native(path)
+    assert list(tables) == ["/tension"]
+
+
+def test_reader_parses_externally_constructed_bag():
+    """BagReader vs a bag built field-by-field from the format spec in
+    THIS test (independent byte layout, not BagWriter) — reader and
+    writer are no longer each other's only oracle."""
+    import struct
+
+    def hdr(d):
+        out = b""
+        for k, v in d.items():
+            e = k.encode() + b"=" + v
+            out += struct.pack("<L", len(e)) + e
+        return out
+
+    def rec(h, d=b""):
+        return (struct.pack("<L", len(h)) + h
+                + struct.pack("<L", len(d)) + d)
+
+    # connection record (conn header in the data section per spec)
+    conn_hdr = hdr({"op": b"\x07", "conn": struct.pack("<L", 0),
+                    "topic": b"/tension"})
+    conn_data = hdr({"topic": b"/tension",
+                     "type": b"geometry_msgs/QuaternionStamped",
+                     "md5sum": b"e57f1e547e0e1fd13504588ffc8334e2",
+                     "message_definition": b""})
+    # QuaternionStamped payload: Header(seq, stamp, frame_id) + 4 doubles
+    payload = (struct.pack("<L", 7) + struct.pack("<LL", 12, 500000000)
+               + struct.pack("<L", 0)
+               + struct.pack("<4d", 9.0, 8.0, 7.0, 6.0))
+    msg_hdr = hdr({"op": b"\x02", "conn": struct.pack("<L", 0),
+                   "time": struct.pack("<LL", 12, 500000000)})
+    chunk_payload = rec(conn_hdr, conn_data) + rec(msg_hdr, payload)
+    chunk_hdr = hdr({"op": b"\x05", "compression": b"none",
+                     "size": struct.pack("<L", len(chunk_payload))})
+    bag_hdr = hdr({"op": b"\x03",
+                   "index_pos": struct.pack("<Q", 0),
+                   "conn_count": struct.pack("<L", 1),
+                   "chunk_count": struct.pack("<L", 1)})
+    pad = 4096 - 8 - len(bag_hdr)
+    blob = (b"#ROSBAG V2.0\n" + rec(bag_hdr, b" " * pad)
+            + rec(chunk_hdr, chunk_payload))
+
+    import tempfile
+    with tempfile.NamedTemporaryFile(suffix=".bag", delete=False) as f:
+        f.write(blob)
+        path = f.name
+    tables = read_bag_native(path)
+    row = tables["/tension"].iloc[0]
+    assert row["quaternion.x"] == 9.0 and row["quaternion.w"] == 6.0
+    assert abs(row["Time"] - 12.5) < 1e-9
+    assert abs(row["header.stamp"] - 12.5) < 1e-9
+
+
 def test_time_encoding_edge_cases(tmp_path):
     """Negative stamps rejected with a clear error; nanosecond rounding
     carries into seconds (no spec-invalid nsecs == 1e9)."""
