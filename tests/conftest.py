@@ -6,9 +6,17 @@
 - x64: the reference solver is float64 numpy (knode.py:58-67); parity tests
   need matching precision. f32 behavior is exercised explicitly via dtype
   arguments where relevant.
+
+On-TPU tier: `KNODE_TEST_PLATFORM=tpu python -m pytest tests/ -m tpu`
+runs the `tpu`-marked tests on the real chip (Mosaic lowering of every
+Pallas kernel family — see tests/test_tpu_kernels.py); the platform pin
+and x64 are skipped so the chip is reachable. tpu-marked tests are
+deselected from the default CPU run (pytest.ini).
 """
 import os
 import sys
+
+_TEST_PLATFORM = os.environ.get("KNODE_TEST_PLATFORM", "cpu")
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
@@ -16,8 +24,9 @@ os.environ["XLA_FLAGS"] = (
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_enable_x64", True)
+if _TEST_PLATFORM == "cpu":
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: this box has a single CPU core, so XLA
 # compiles dominate the suite's wall clock. Caching compiled executables

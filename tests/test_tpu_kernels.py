@@ -1,0 +1,165 @@
+"""On-TPU kernel tier: compile and run the Mosaic lowering of every Pallas
+kernel family on the real chip and pin parity against the XLA paths.
+
+The default CPU suite exercises kernel SEMANTICS (interpret mode); this
+tier exercises the actual TPU lowering — i1-yield workarounds, bubble-max
+pivoting, VMEM layouts (ops/pallas_step.py, ops/pallas_sweep.py,
+ops/pallas_train.py, ops/dtw.py). A Mosaic regression fails here instead
+of surfacing first in the driver's bench JSON (round-2 verdict item 3).
+
+Run: KNODE_TEST_PLATFORM=tpu python -m pytest tests/ -m tpu -q
+Auto-skips unless jax.default_backend() == "tpu".
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+pytestmark = [
+    pytest.mark.tpu,
+    pytest.mark.skipif(jax.default_backend() != "tpu",
+                       reason="requires a real TPU backend"),
+]
+
+from knode_cosserat_tpu import apply_mod  # noqa: E402
+from knode_cosserat_tpu.controls import calc_controls  # noqa: E402
+from knode_cosserat_tpu.core.fast_rollout import make_fast_rollout  # noqa: E402
+from knode_cosserat_tpu.models import MLPSpec, init_mlp  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def rod():
+    return apply_mod("nsw", dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def controls(rod):
+    return jnp.asarray(np.stack([
+        calc_controls("sine", 0.5 + 0.2 * i, float(rod.del_t), 6)
+        for i in range(4)]), jnp.float32)
+
+
+def _xla_rollout(rod, controls, spec=None, nn_params=None):
+    roll = jax.jit(make_fast_rollout(rod, spec, tol=1e-8, impl="xla"))
+    traj, _, _ = roll(controls, nn_params)
+    return np.asarray(traj)
+
+
+def _assert_traj_close(actual, desired):
+    """Channel-aware comparison: both solvers converge the residual to
+    tol=1e-8, so the recorded STATE (y, z — what eval consumes) agrees
+    tightly; the BDF-2 history channels carry a 1/del_t (~40x) scale and
+    inherit the Newton path difference at ~1e-4 relative (measured on
+    chip: state 2e-5, history 8e-4 abs)."""
+    actual, desired = np.asarray(actual), np.asarray(desired)
+    np.testing.assert_allclose(actual[..., :25], desired[..., :25],
+                               rtol=2e-3, atol=1e-4)
+    np.testing.assert_allclose(actual[..., 25:], desired[..., 25:],
+                               rtol=2e-3, atol=4e-3)
+
+
+def test_tpu_sweep_rollout_matches_xla(rod, controls):
+    """Fused sweep kernels (ops/pallas_sweep.py) on the chip == XLA."""
+    roll = jax.jit(make_fast_rollout(rod, tol=1e-8, impl="pallas",
+                                     block_b=128))
+    traj, _, _ = roll(controls)
+    _assert_traj_close(traj, _xla_rollout(rod, controls))
+
+
+def test_tpu_mega_rollout_matches_xla(rod, controls):
+    """Mega step kernel (ops/pallas_step.py) on the chip == XLA."""
+    roll = jax.jit(make_fast_rollout(rod, tol=1e-8, impl="mega",
+                                     block_b=128))
+    traj, _, _ = roll(controls)
+    _assert_traj_close(traj, _xla_rollout(rod, controls))
+
+
+def test_tpu_mega_hybrid_rollout_matches_xla(rod, controls):
+    """Mega kernel with the MLP residual in the RHS (the eval fast path)."""
+    spec = MLPSpec.for_knode(128)
+    params = jax.tree.map(lambda x: x * 1e-3,
+                          init_mlp(spec, jax.random.PRNGKey(0),
+                                   jnp.float32))
+    roll = jax.jit(make_fast_rollout(rod, spec, tol=1e-8, impl="mega",
+                                     block_b=128))
+    traj, _, _ = roll(controls, params)
+    _assert_traj_close(traj, _xla_rollout(rod, controls, spec, params))
+
+
+def test_tpu_fused_training_matches_epoch_scan(rod):
+    """Whole-training-run kernel (ops/pallas_train.py) Mosaic lowering ==
+    the XLA epoch scan, including Adam + plateau + clamp."""
+    from knode_cosserat_tpu.ops.pallas_train import make_fused_training_run
+    from knode_cosserat_tpu.training import TrainConfig, make_training_data
+    from knode_cosserat_tpu.training.train import (make_epoch_scan,
+                                                   make_optimizer)
+
+    ref = apply_mod(None, dtype=jnp.float32)
+    trajs, ctls = make_training_data(ref, [("sine", 0.5), ("sine", 1.0)],
+                                     train_len=8)
+    trajs = jnp.asarray(np.asarray(trajs), jnp.float32)
+    ctls = jnp.asarray(np.asarray(ctls), jnp.float32)
+    epochs = 25
+    cfg = TrainConfig(epochs=epochs, hidden=128, dtype="float32")
+    spec = cfg.spec()
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float32)
+
+    run = make_fused_training_run(rod, spec, cfg, epochs)
+    p_f, l_f, _ = run(params, trajs, ctls)
+
+    opt = make_optimizer(cfg)
+    scan = make_epoch_scan(rod, spec, opt, cfg.keypoints, True, epochs)
+    p_x, _, l_x = scan(params, opt.init(params), trajs, ctls)
+
+    l_f, l_x = np.asarray(l_f), np.asarray(l_x)
+    assert np.isfinite(l_f).all()
+    np.testing.assert_allclose(l_f, l_x, rtol=5e-3, atol=1e-7)
+    for a, b in zip(jax.tree.leaves(p_f), jax.tree.leaves(p_x)):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), rtol=2e-2,
+                                   atol=2e-4)
+
+
+def test_tpu_fused_grid_training_runs(rod):
+    """vmapped grid kernel lowers through Mosaic (grid dim added by the
+    Pallas batching rule) and matches per-model runs."""
+    from knode_cosserat_tpu.ops.pallas_train import (
+        make_fused_grid_training_run, make_fused_training_run)
+    from knode_cosserat_tpu.training import TrainConfig, make_training_data
+
+    ref = apply_mod(None, dtype=jnp.float32)
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    trajs = jnp.asarray(np.asarray(trajs), jnp.float32)
+    ctls = jnp.asarray(np.asarray(ctls), jnp.float32)
+    epochs = 10
+    cfg = TrainConfig(epochs=epochs, hidden=128, dtype="float32")
+    spec = cfg.spec()
+    mods = ["nsw", "short"]
+    rods = [apply_mod(m, dtype=jnp.float32) for m in mods]
+    params = [init_mlp(spec, jax.random.PRNGKey(s), jnp.float32)
+              for s in range(2)]
+    rods_st = jax.tree.map(lambda *xs: jnp.stack(xs), *rods)
+    params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
+    grid_run = make_fused_grid_training_run(spec, cfg, epochs)
+    pg, lg, _ = grid_run(rods_st, params_st, jnp.stack([trajs] * 2),
+                         jnp.stack([ctls] * 2))
+    lg = np.asarray(lg)
+    assert np.isfinite(lg).all()
+    for i, (r, p0) in enumerate(zip(rods, params)):
+        run = make_fused_training_run(r, spec, cfg, epochs)
+        _, l1, _ = run(p0, trajs, ctls)
+        np.testing.assert_allclose(lg[i], np.asarray(l1), rtol=1e-4,
+                                   atol=1e-9)
+
+
+def test_tpu_device_dtw_matches_host():
+    """Anti-diagonal wavefront DTW on the chip == host exact DTW."""
+    from knode_cosserat_tpu.evaluation.metrics import dtw
+    from knode_cosserat_tpu.ops.dtw import dtw_device
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(40, 3).astype(np.float32)
+    y = rng.randn(37, 3).astype(np.float32)
+    d_dev = float(dtw_device(jnp.asarray(x), jnp.asarray(y)))
+    d_host, _ = dtw(x, y)
+    np.testing.assert_allclose(d_dev, d_host, rtol=1e-5)
