@@ -191,6 +191,8 @@ def main():
     import jax
     if os.environ.get("KNODE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["KNODE_PLATFORM"])
+    from knode_cosserat_tpu.cli import enable_compile_cache
+    enable_compile_cache()
     # The axon TPU tunnel occasionally fails to acquire the chip for a
     # minute or so after another process releases it, and JAX then falls
     # back to CPU silently — which would record garbage numbers. Re-exec

@@ -330,6 +330,22 @@ def cmd_train_real(args):
     print(f"saved {args.save_path} (final loss {res.loss_history[-1]:.3e})")
 
 
+def enable_compile_cache():
+    """Persistent XLA compile cache for every product entry point: repeat
+    CLI/bench invocations skip the 20-150 s first-compile of the big jits
+    (kernel grids, vmapped rollouts). Opt out: KNODE_NO_COMPILE_CACHE=1."""
+    if os.environ.get("KNODE_NO_COMPILE_CACHE"):
+        return
+    import jax
+    cache = os.environ.get(
+        "KNODE_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache",
+                     "knode_cosserat_tpu", "jax"))
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
     # honor an explicit platform request (the axon TPU plugin ignores
     # JAX_PLATFORMS, so we route through jax.config)
@@ -339,6 +355,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", plat)
         if os.environ.get("KNODE_X64"):
             jax.config.update("jax_enable_x64", True)
+    enable_compile_cache()
 
     ap = argparse.ArgumentParser(prog="knode-cosserat-tpu", description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)

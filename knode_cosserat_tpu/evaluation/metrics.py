@@ -133,9 +133,20 @@ def pose_mse(pred_traj, ref_traj):
     ppos, pquat = split(pred_traj)
     rpos, rquat = split(ref_traj)
     se_pos = (ppos - rpos) ** 2
-    pe = Rotation.from_quat(pquat, scalar_first=True).as_euler("zyx")
-    re = Rotation.from_quat(rquat, scalar_first=True).as_euler("zyx")
-    se_euler = (pe - re) ** 2
+
+    def euler(quat):
+        # A diverged rollout can carry zero/NaN quaternions; scipy raises
+        # on those where the reference's pure-numpy euler conversion would
+        # propagate NaN (Utils/transformations.py). Degrade the same way:
+        # NaN euler rows -> NaN MSE, not a crash.
+        norm = np.linalg.norm(quat, axis=-1)
+        bad = ~np.isfinite(norm) | (norm < 1e-12)
+        safe = np.where(bad[:, None], [1.0, 0.0, 0.0, 0.0], quat)
+        e = Rotation.from_quat(safe, scalar_first=True).as_euler("zyx")
+        e[bad] = np.nan
+        return e
+
+    se_euler = (euler(pquat) - euler(rquat)) ** 2
     return float(np.mean(np.concatenate([se_euler.ravel(), se_pos.ravel()])) * 1000)
 
 

@@ -42,23 +42,30 @@ class EvalRecord:
 def make_eval_data(reference_rod: RodParams, eval_set: Sequence[str],
                    eval_len: int = 100) -> Dict[str, dict]:
     """Reference rollouts for each eval schedule (calc_evaldata,
-    physics_multitrain.py:132-138)."""
+    physics_multitrain.py:132-138). Newton tolerance is dtype-appropriate
+    (a below-f32-resolution tol would force max_iter on every step)."""
+    from ..training.train import _default_tol
     out = {}
+    tol = _default_tol(reference_rod.dtype)
     for name in eval_set:
         kind, arg = name.split(" ")
         controls = calc_controls(kind, float(arg),
                                  float(reference_rod.del_t), eval_len)
-        traj = np.asarray(simulate(reference_rod, controls))[:, :, :25]
+        traj = np.asarray(simulate(reference_rod, controls,
+                                   tol=tol))[:, :, :25]
         out[name] = {"controls": controls, "interpolated": traj}
     return out
 
 
 def _batched_nn_rollouts(rods, spec: MLPSpec, params_stacked, controls):
     """vmap the hybrid rollout over stacked rods + per-cell MLP params."""
+    from ..training.train import _default_tol
+    tol = _default_tol(controls.dtype)
+
     def one(rod, nn_params):
         nn_fn = bind(spec, nn_params)
         return simulate_scan(rod, controls, nn_fn=nn_fn,
-                             nn_history=spec.history).traj
+                             nn_history=spec.history, tol=tol).traj
     return jax.jit(jax.vmap(one))(rods, params_stacked)
 
 
@@ -114,14 +121,21 @@ def evaluate_cells(
     schedule; score DTW + pose MSE with % change vs the baseline of the same
     mod (physics_multitrain.py:178-233).
 
-    impl: "auto" (mega step kernel on TPU, XLA scan elsewhere), "mega",
-    "mega-interpret" (CPU testing), or "xla". dtw_impl: "device" scores the
-    whole batch with the exact anti-diagonal-wavefront DTW (ops/dtw.py) in
-    one program; "host" keeps the per-cell fastdtw approximation (the
-    reference's metric — equal on these smooth tip trajectories, pinned by
+    impl: "auto" (= "xla"), "mega", "mega-interpret" (CPU testing), or
+    "xla". Wide-grid eval is a THROUGHPUT problem: the batched XLA scan
+    rollout vmaps every (cell, rod) pair in ONE compiled program and runs
+    the robust newton_solve (LM stall escalation, max-effort tol) — the
+    right default. "mega" trades that for the one-launch-per-step latency
+    kernel (one Mosaic compile per mod, plain-stall Newton): measured
+    slower end-to-end at 40 cells and less robust on marginally-stable
+    hybrid rollouts; use it for small cell counts when the kernels are
+    already compiled. dtw_impl: "device" scores the whole batch with the
+    exact anti-diagonal-wavefront DTW (ops/dtw.py) in one program; "host"
+    keeps the per-cell fastdtw approximation (the reference's metric —
+    equal on these smooth tip trajectories, pinned by
     tests/test_framework.py)."""
     if impl == "auto":
-        impl = "mega" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
     if reference_rod is None:
         reference_rod = apply_mod(None, original=original)
     dtype = reference_rod.dtype
@@ -148,8 +162,10 @@ def evaluate_cells(
         # --- baselines: modified rods, no NN, batched over mods ---
         rods_b = jax.tree.map(lambda *xs: jnp.stack(xs),
                               *[apply_mod(m, original=original) for m in mods])
+        from ..training.train import _default_tol
         base_trajs = jax.jit(jax.vmap(
-            lambda rod: simulate_scan(rod, controls).traj))(rods_b)
+            lambda rod: simulate_scan(
+                rod, controls, tol=_default_tol(dtype)).traj))(rods_b)
         base_dtws = score_dtw(base_trajs, ref_traj)
         for mod, traj, dtw in zip(mods, np.asarray(base_trajs), base_dtws):
             mse = pose_mse(traj[:, :, :25], ref_traj)

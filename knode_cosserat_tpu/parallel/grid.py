@@ -127,7 +127,10 @@ def grid_train(
         interp = fused_mode == "interpret"
         make_run_fused = lambda n: make_fused_grid_training_run(
             spec, cfg, n, interpret=interp)
-        chunk = max(1, min(cfg.log_every, cfg.epochs))
+        # no log consumer -> the WHOLE run is one kernel launch; otherwise
+        # chunk at the log cadence (opt state round-trips between chunks)
+        chunk = (cfg.epochs if log is None
+                 else max(1, min(cfg.log_every, cfg.epochs)))
         run_chunk = make_run_fused(chunk)
         losses: list = []
         state = None

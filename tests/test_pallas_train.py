@@ -200,6 +200,36 @@ def test_train_knode_fused_is_the_trainer():
                                    atol=3e-5)
 
 
+def test_train_knode_fused_checkpoint_resume(tmp_path):
+    """Checkpoint written mid-run by the FUSED trainer resumes exactly:
+    the canonical optax state saved at the boundary converts back into
+    the kernel's opaque state on resume."""
+    from knode_cosserat_tpu import apply_mod as am
+    from knode_cosserat_tpu.training import train_knode
+    from knode_cosserat_tpu.training.checkpoint import save_checkpoint
+
+    ref = am(None)
+    p_mod = am("youngs")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    trajs = np.asarray(trajs, np.float32)
+    ctls = np.asarray(ctls, np.float32)
+    kw = dict(hidden=32, dtype="float32", seed=1, log_every=1000,
+              fused="interpret")
+
+    full = train_knode(p_mod, trajs, ctls, TrainConfig(epochs=8, **kw),
+                       log=None)
+    half = train_knode(p_mod, trajs, ctls, TrainConfig(epochs=3, **kw),
+                       log=None)
+    ck = str(tmp_path / "fused_ck")
+    save_checkpoint(ck, {"params": half.params,
+                         "loss": half.loss_history})
+    res = train_knode(p_mod, trajs, ctls, TrainConfig(epochs=4, **kw),
+                      resume_from=ck, log=None)
+    assert np.isfinite(res.loss_history).all()
+    np.testing.assert_allclose(res.loss_history[:4], full.loss_history[:4],
+                               rtol=1e-5)
+
+
 def test_fused_grid_training_matches_per_model():
     """The vmapped grid kernel == each model trained alone with its own
     fused run (rod scalars ride the per-lane scalar row)."""
