@@ -356,9 +356,12 @@ def train_knode(
             nn_p = None if epoch == 0 else (
                 jax.device_get(params) if mesh is not None else params)
             if nn_p is None:
-                traj = simulate_scan(eval_rod,
-                                     jnp.asarray(validation_controls,
-                                                 eval_rod.dtype)).traj
+                # jitted wrapper (the bare scan would dispatch eagerly)
+                from ..core.stepper import simulate
+                traj = simulate(eval_rod,
+                                jnp.asarray(validation_controls,
+                                            eval_rod.dtype),
+                                tol=_default_tol(eval_rod.dtype))
             else:
                 traj = rollout_with_nn(eval_rod,
                                        jnp.asarray(validation_controls,
