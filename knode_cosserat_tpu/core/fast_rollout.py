@@ -59,6 +59,11 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
         eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
     alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
     eye = jnp.eye(6, dtype=dtype)
+    # LM stall escalation — same constants as newton_solve / the mega
+    # kernel, so every solver path shares recovery semantics
+    lm_lambda0 = jnp.asarray(1e-4, dtype)
+    lm_growth = 10.0
+    max_escalations = 8
 
     def step(y, z, y_prev, z_prev, G, tensions, nn_params=None):
         R = y.shape[0]
@@ -87,17 +92,22 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
             return jnp.swapaxes(J, 1, 2)
 
         def cond(state):
-            G, r, r2, J, it, stalled = state
-            return jnp.any((r2 > tol) & (~stalled)) & (it < max_iter)
+            G, r, r2, J, it, lam, fails = state
+            return (jnp.any((r2 > tol) & (fails <= max_escalations))
+                    & (it < max_iter))
 
         def body(state):
-            G, r, r2, J, it, stalled = state
+            G, r, r2, J, it, lam, fails = state
             if jacobian_refresh == 1:
                 J = fd_jacobian(G, r)
             else:
                 J = lax.cond(it % jacobian_refresh == 0,
                              lambda: fd_jacobian(G, r), lambda: J)
-            dG = solve_small(J, -r)
+            # adaptive LM term (zero until a stall escalates it)
+            D = jnp.maximum(jnp.abs(jnp.diagonal(J, axis1=-2, axis2=-1)),
+                            1.0)
+            Jl = J + (lam[:, None] * D)[:, :, None] * eye[None]
+            dG = solve_small(Jl, -r)
             dG = jnp.where(jnp.all(jnp.isfinite(dG), axis=-1,
                                    keepdims=True), dG, 0.0)
             cand = G[:, None, :] + alphas[None, :, None] * dG[:, None, :]
@@ -110,19 +120,28 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
             pick = jnp.where(found, idx, 0)
             take = lambda a: jnp.take_along_axis(
                 a, pick[:, None, None], axis=1).squeeze(1)
-            active = (r2 > tol) & (~stalled)
-            G = jnp.where(active[:, None], take(cand), G)
-            r = jnp.where(active[:, None], take(r_c), r)
-            r2 = jnp.where(active, jnp.take_along_axis(
+            active = (r2 > tol) & (fails <= max_escalations)
+            # advance only improving lanes; stalling lanes HOLD position
+            # and retry next iteration with an escalated lambda
+            step_ok = active & found
+            G = jnp.where(step_ok[:, None], take(cand), G)
+            r = jnp.where(step_ok[:, None], take(r_c), r)
+            r2 = jnp.where(step_ok, jnp.take_along_axis(
                 r2_c, pick[:, None], axis=1)[:, 0], r2)
-            stalled = stalled | (active & (~found))
-            return (G, r, r2, J, it + 1, stalled)
+            no_improve = active & (~found)
+            lam = jnp.where(no_improve,
+                            jnp.maximum(lam * lm_growth, lm_lambda0),
+                            0.0).astype(dtype)
+            fails = jnp.where(no_improve, fails + 1,
+                              jnp.where(active, 0, fails))
+            return (G, r, r2, J, it + 1, lam, fails)
 
         r0 = k_res(G, yh, zh, tf, nn_params)
         r2 = jnp.sum(r0 * r0, axis=-1)
         state = (G, r0, r2, jnp.zeros((R, 6, 6), dtype),
-                 jnp.array(0, jnp.int32), jnp.zeros(R, bool))
-        G_new, _, r2, _, it, _ = lax.while_loop(cond, body, state)
+                 jnp.array(0, jnp.int32), jnp.zeros(R, dtype),
+                 jnp.zeros(R, jnp.int32))
+        G_new, _, r2, _, it, _, _ = lax.while_loop(cond, body, state)
 
         _, y_new, z_body = k_full(G_new, yh, zh, tf, nn_params)
         z_new = jnp.concatenate([z_body, z[:, -1:, :]], axis=1)

@@ -10,10 +10,11 @@ inside ONE pallas_call:
 
   r0 = sweep(G)
   while any(active) and it < max_iter:          # in-kernel while_loop
-      J  = forward-difference Jacobian           # 6 in-kernel sweeps
+      J  = FD Jacobian + lam*diag (LM)           # 6 in-kernel sweeps
       dG = solve(J, -r)                          # lane-wise pivoted GE
       backtracking line search over alphas       # n_alphas in-kernel sweeps
-      update active lanes; stall lanes with no improving alpha
+      improving lanes advance (lam=0); stalling lanes HOLD and escalate
+      lam (Levenberg-Marquardt, newton_solve's recovery semantics)
   final sweep records the full rod
 
 Layout matches pallas_sweep.py: state-major — components on sublanes,
@@ -41,6 +42,13 @@ from .pallas_sweep import _YR, _ZR, make_rhs_rows
 
 __all__ = ["make_step_kernel"]
 
+# Levenberg-Marquardt stall-escalation constants — mirror the defaults of
+# core.shooting.newton_solve (lm_lambda0, lm_growth, max_escalations) so
+# all three solver paths share recovery semantics.
+_LM_LAMBDA0 = 1e-4
+_LM_GROWTH = 10.0
+_MAX_ESCALATIONS = 8
+
 
 def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
                      block_b: int = 256, tol: float = 1e-10,
@@ -51,7 +59,9 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
 
     Semantics match core/fast_rollout._build_step with fd_order=1 and
     jacobian_refresh=1: damped Newton with backtracking alphas 0.5**k,
-    first-improving-alpha selection, per-lane stall detection.
+    first-improving-alpha selection, and per-lane Levenberg-Marquardt
+    stall escalation (hold position, damp the solve, retry — the same
+    recovery as core.shooting.newton_solve).
 
     method: "euler" (reference spatial order) or "rk4"
     (cosserat_ode.py:222-242 with linear history midpoints, knode.py:80-81).
@@ -183,20 +193,22 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
         G = G_ref[0:6, :]                                    # (6, TB)
         r = sweep_res([G[i:i + 1, :] for i in range(6)])
         r2 = jnp.sum(r * r, axis=0, keepdims=True)           # (1, TB)
-        # the stall mask is carried as f32 (1.0 = stalled): Mosaic cannot
-        # legalize i1 vectors through scf.while yields. Padding lanes
-        # start stalled.
-        stalled_f = jnp.where(pad_lane, 1.0, 0.0).astype(dtype)
+        # fail counter carried as f32 (1 per consecutive stalled
+        # iteration): Mosaic cannot legalize i1 vectors through scf.while
+        # yields. Padding lanes start beyond the escalation budget.
+        fails_f = jnp.where(pad_lane, float(_MAX_ESCALATIONS + 1),
+                            0.0).astype(dtype)
+        lam = jnp.zeros((1, TB), dtype)
         it = jnp.zeros((), jnp.int32)
 
         def cond(state):
-            G, r, r2, stalled_f, it = state
-            active = (r2 > tol) & (stalled_f < 0.5)
+            G, r, r2, fails_f, lam, it = state
+            active = (r2 > tol) & (fails_f <= _MAX_ESCALATIONS)
             return jnp.any(active) & (it < max_iter)
 
         def newton_body(state):
-            G, r, r2, stalled_f, it = state
-            active = (r2 > tol) & (stalled_f < 0.5)
+            G, r, r2, fails_f, lam, it = state
+            active = (r2 > tol) & (fails_f <= _MAX_ESCALATIONS)
 
             # --- forward-difference Jacobian: 6 probe sweeps ----------
             # J[i][k] = (r(G + h_k e_k)_i - r_i) / h_k
@@ -208,6 +220,12 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
                 r_p = sweep_res(Gp)
                 for i in range(6):
                     J[i][k] = (r_p[i:i + 1, :] - r[i:i + 1, :]) / h_k
+            # Levenberg-Marquardt term with Marquardt scaling — zero on
+            # healthy lanes, escalated after line-search failures (the
+            # in-kernel twin of core.shooting.newton_solve's recovery)
+            for i in range(6):
+                J[i][i] = J[i][i] + lam * jnp.maximum(jnp.abs(J[i][i]),
+                                                      1.0)
 
             dG = solve6(J, [-r[i:i + 1, :] for i in range(6)])
             fin = jnp.ones((1, TB), jnp.bool_)
@@ -220,8 +238,7 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
             # inlined only once here — compile time stays flat in
             # n_alphas; found mask carried as f32 (i1 yield restriction)
             def ls_body(k, ls):
-                (G_best, r_best, r2_best, found_f,
-                 G_full, r_full, r2_full) = ls
+                (G_best, r_best, r2_best, found_f) = ls
                 a = jnp.exp2(-k.astype(dtype))               # 0.5**k
                 Gc = [G[i:i + 1, :] + a * dG[i] for i in range(6)]
                 Gc_cat = jnp.concatenate(Gc, axis=0)
@@ -234,31 +251,26 @@ def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
                 r2_best = jnp.where(take, r2_c, r2_best)
                 found_f = jnp.maximum(found_f,
                                       jnp.where(improves, 1.0, 0.0))
-                # remember the k=0 (full Newton step) candidate: lanes
-                # whose search fails still commit it (_build_step's
-                # pick=0-when-not-found semantics, fast_rollout.py:110)
-                first = (k == 0)
-                G_full = jnp.where(first, Gc_cat, G_full)
-                r_full = jnp.where(first, r_c, r_full)
-                r2_full = jnp.where(first, r2_c, r2_full)
-                return (G_best, r_best, r2_best, found_f,
-                        G_full, r_full, r2_full)
+                return (G_best, r_best, r2_best, found_f)
 
-            (G_best, r_best, r2_best, found_f,
-             G_full, r_full, r2_full) = jax.lax.fori_loop(
+            (G_best, r_best, r2_best, found_f) = jax.lax.fori_loop(
                 0, n_alphas, ls_body,
-                (G, r, r2, jnp.zeros((1, TB), dtype), G, r, r2))
+                (G, r, r2, jnp.zeros((1, TB), dtype)))
 
+            # no improving alpha: HOLD position and escalate lambda (the
+            # next iteration solves with a damped, better-conditioned
+            # system); a successful step resets to pure Newton. Matches
+            # newton_solve (core/shooting.py:90-125) semantics.
             no_improve = active & (found_f < 0.5)
-            G_best = jnp.where(no_improve, G_full, G_best)
-            r_best = jnp.where(no_improve, r_full, r_best)
-            r2_best = jnp.where(no_improve, r2_full, r2_best)
-            stalled_f = jnp.maximum(
-                stalled_f, jnp.where(no_improve, 1.0, 0.0))
-            return (G_best, r_best, r2_best, stalled_f, it + 1)
+            lam = jnp.where(no_improve,
+                            jnp.maximum(lam * _LM_GROWTH, _LM_LAMBDA0),
+                            0.0).astype(dtype)
+            fails_f = jnp.where(no_improve, fails_f + 1.0,
+                                jnp.where(active, 0.0, fails_f))
+            return (G_best, r_best, r2_best, fails_f, lam, it + 1)
 
-        G, r, r2, stalled_f, it = jax.lax.while_loop(
-            cond, newton_body, (G, r, r2, stalled_f, it))
+        G, r, r2, fails_f, lam, it = jax.lax.while_loop(
+            cond, newton_body, (G, r, r2, fails_f, lam, it))
 
         # --- final recording sweep at the solved G --------------------
         G6 = [G[i:i + 1, :] for i in range(6)]

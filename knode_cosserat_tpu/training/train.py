@@ -234,14 +234,18 @@ _MEGA_CACHE: dict = {}
 
 def _mega_rollout_cached(p: RodParams, spec, tol, max_iter, method):
     """One jitted mega-kernel rollout per (rod-id, spec, tol) — repeated
-    eval calls (eval_every boundaries, eval sweeps) reuse the compile."""
+    eval calls (eval_every boundaries, eval sweeps) reuse the compile.
+    The cache entry holds the rod itself: id() keys are only unique while
+    the object is alive, so keeping the reference prevents a freed id
+    from aliasing to a different rod's kernel."""
     key = (id(p), spec, float(tol), int(max_iter), method)
-    fn = _MEGA_CACHE.get(key)
-    if fn is None:
-        from ..core.fast_rollout import make_fast_rollout
-        fn = jax.jit(make_fast_rollout(p, spec, tol=tol, max_iter=max_iter,
-                                       impl="mega", method=method))
-        _MEGA_CACHE[key] = fn
+    hit = _MEGA_CACHE.get(key)
+    if hit is not None and hit[0] is p:
+        return hit[1]
+    from ..core.fast_rollout import make_fast_rollout
+    fn = jax.jit(make_fast_rollout(p, spec, tol=tol, max_iter=max_iter,
+                                   impl="mega", method=method))
+    _MEGA_CACHE[key] = (p, fn)
     return fn
 
 
