@@ -152,6 +152,33 @@ def test_tpu_fused_grid_training_runs(rod):
                                    atol=1e-9)
 
 
+def test_tpu_fused_rhs_matches_jax(rod):
+    """Fused hybrid-RHS kernel (ops/pallas_rhs.py) Mosaic lowering == the
+    pure-JAX next-segment update (physics on VPU + MLP on MXU)."""
+    from knode_cosserat_tpu.core.spatial import next_segment_euler
+    from knode_cosserat_tpu.models.mlp import bind
+    from knode_cosserat_tpu.ops.pallas_rhs import make_fused_next_segment
+
+    spec = MLPSpec.for_knode(128)
+    params = init_mlp(spec, jax.random.PRNGKey(1), jnp.float32)
+    rng = np.random.RandomState(0)
+    B = 96
+    y = jnp.asarray(rng.randn(B, 19) * 0.05 + np.array(
+        [0, 0, 0.3] + [1, 0, 0, 0] + [0] * 12), jnp.float32)
+    yh = jnp.asarray(rng.randn(B, 19).astype(np.float32))
+    zh = jnp.asarray(rng.randn(B, 6).astype(np.float32))
+    tf = jnp.asarray(rng.randn(B, 3).astype(np.float32))
+
+    fused = make_fused_next_segment(rod, spec, block_b=128)
+    yg_f, z_f = fused(params, y, yh, zh, tf)
+    yg_j, z_j = next_segment_euler(rod, y, yh, zh, tf,
+                                   nn_fn=bind(spec, params))
+    np.testing.assert_allclose(np.asarray(yg_f), np.asarray(yg_j),
+                               rtol=2e-3, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(z_f), np.asarray(z_j),
+                               rtol=2e-3, atol=2e-4)
+
+
 def test_tpu_device_dtw_matches_host():
     """Anti-diagonal wavefront DTW on the chip == host exact DTW."""
     from knode_cosserat_tpu.evaluation.metrics import dtw
