@@ -59,11 +59,11 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
         eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
     alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
     eye = jnp.eye(6, dtype=dtype)
-    # LM stall escalation — same constants as newton_solve / the mega
-    # kernel, so every solver path shares recovery semantics
+    # LM stall escalation — same ladder as the mega kernel (see
+    # ops/pallas_step.py constants for the 4 x30 vs 8 x10 rationale)
     lm_lambda0 = jnp.asarray(1e-4, dtype)
-    lm_growth = 10.0
-    max_escalations = 8
+    lm_growth = 30.0
+    max_escalations = 4
 
     def step(y, z, y_prev, z_prev, G, tensions, nn_params=None):
         R = y.shape[0]

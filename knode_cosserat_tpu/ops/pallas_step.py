@@ -42,12 +42,16 @@ from .pallas_sweep import _YR, _ZR, make_rhs_rows
 
 __all__ = ["make_step_kernel"]
 
-# Levenberg-Marquardt stall-escalation constants — mirror the defaults of
-# core.shooting.newton_solve (lm_lambda0, lm_growth, max_escalations) so
-# all three solver paths share recovery semantics.
+# Levenberg-Marquardt stall-escalation constants. Same RECOVERY semantics
+# as core.shooting.newton_solve but a steeper, shorter ladder (4 x30 steps
+# spanning lam 1e-4..2.7 instead of 8 x10): lanes that stall AT the f32
+# residual floor exhaust the budget in 4 iterations instead of 8 — the
+# vmapped while_loop is governed by the slowest lane, and floor-stalls pay
+# the full probe+line-search cost per escalation (measured ~25% of mega
+# rollout throughput at the 8-step ladder).
 _LM_LAMBDA0 = 1e-4
-_LM_GROWTH = 10.0
-_MAX_ESCALATIONS = 8
+_LM_GROWTH = 30.0
+_MAX_ESCALATIONS = 4
 
 
 def make_step_kernel(p: RodParams, spec: MLPSpec | None = None,
