@@ -300,8 +300,11 @@ def main():
     extras = dict(extras_train)
 
     def epoch_matmul_flops(n_cells, hidden, din):
-        cp = ((n_cells + 127) // 128) * 128
-        return 2.0 * cp * hidden * (2 * din + 3 * 25)
+        # mirrors ops/pallas_train.precompute's tile padding exactly
+        from knode_cosserat_tpu.ops.pallas_train import CELL_TILE
+        n_tiles = -(-n_cells // CELL_TILE)
+        tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
+        return 2.0 * n_tiles * tile * hidden * (2 * din + 3 * 25)
 
     peak = _peak_flops(jax.devices()[0])
     n_cells = int(tj.shape[0] * (tj.shape[1] - 1) * len(cfg.keypoints))

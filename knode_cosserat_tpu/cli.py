@@ -341,7 +341,10 @@ def enable_compile_cache():
         "KNODE_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache",
                      "knode_cosserat_tpu", "jax"))
-    os.makedirs(cache, exist_ok=True)
+    try:
+        os.makedirs(cache, exist_ok=True)
+    except OSError:
+        return  # unwritable HOME/dir: run without the cache, never crash
     jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

@@ -32,7 +32,46 @@ from ..ops.pallas_sweep import make_sweep_kernel
 from .params import RodParams
 from .stepper import initial_state
 
-__all__ = ["make_fast_rollout", "make_fast_step"]
+__all__ = ["make_fast_rollout", "make_fast_step", "mega_rollout_cached"]
+
+
+_MEGA_LRU: "OrderedDict" = None
+
+
+def mega_rollout_cached(p: RodParams, spec=None, tol: float = 1e-10,
+                        max_iter: int = 50, method: str = "euler",
+                        interpret: bool = False):
+    """Shared content-keyed LRU of jitted mega rollouts.
+
+    Both the train-loop validation rollouts (training/train.py) and the
+    grid eval sweeps (evaluation/tables.py) reuse compiled mega kernels
+    here. The key hashes the rod's LEAF VALUES (not object identity), so
+    logically-identical rods built by separate apply_mod calls share one
+    compile; the LRU (16 entries) bounds retained executables across
+    hyperparameter sweeps."""
+    global _MEGA_LRU
+    import hashlib
+    from collections import OrderedDict
+
+    if _MEGA_LRU is None:
+        _MEGA_LRU = OrderedDict()
+    h = hashlib.sha1()
+    for leaf in jax.tree.leaves(p):
+        h.update(np.asarray(leaf).tobytes())
+    h.update(repr((p.N, p.n_tendons, spec, float(tol), int(max_iter),
+                   method, interpret)).encode())
+    key = h.hexdigest()
+    fn = _MEGA_LRU.get(key)
+    if fn is None:
+        fn = jax.jit(make_fast_rollout(p, spec, tol=tol, max_iter=max_iter,
+                                       impl="mega", method=method,
+                                       interpret=interpret))
+        _MEGA_LRU[key] = fn
+        while len(_MEGA_LRU) > 16:
+            _MEGA_LRU.popitem(last=False)
+    else:
+        _MEGA_LRU.move_to_end(key)
+    return fn
 
 
 def _build_kernels(p, spec, block_b, interpret, impl, method="euler"):
@@ -59,11 +98,14 @@ def _build_step(p, k_res, k_full, tol, max_iter, n_alphas,
         eps = jnp.asarray(1e-8 if dtype == jnp.float64 else 3e-4, dtype)
     alphas = (0.5 ** jnp.arange(n_alphas)).astype(dtype)
     eye = jnp.eye(6, dtype=dtype)
-    # LM stall escalation — same ladder as the mega kernel (see
-    # ops/pallas_step.py constants for the 4 x30 vs 8 x10 rationale)
-    lm_lambda0 = jnp.asarray(1e-4, dtype)
-    lm_growth = 30.0
-    max_escalations = 4
+    # LM stall escalation — THE ladder constants live in ops/pallas_step
+    # (see there for the 4 x30 vs 8 x10 rationale); importing them keeps
+    # the XLA driver and the kernel in lock-step across retunes
+    from ..ops.pallas_step import (_LM_GROWTH, _LM_LAMBDA0,
+                                   _MAX_ESCALATIONS)
+    lm_lambda0 = jnp.asarray(_LM_LAMBDA0, dtype)
+    lm_growth = _LM_GROWTH
+    max_escalations = _MAX_ESCALATIONS
 
     def step(y, z, y_prev, z_prev, G, tensions, nn_params=None):
         R = y.shape[0]

@@ -69,17 +69,18 @@ def _batched_nn_rollouts(rods, spec: MLPSpec, params_stacked, controls):
     return jax.jit(jax.vmap(one))(rods, params_stacked)
 
 
-_MEGA_EVAL_CACHE: dict = {}
+_MEGA_VMAP_CACHE: dict = {}
 
 
 def _mega_nn_rollouts(cells, spec: MLPSpec, params_list, controls,
                       original: bool, interpret: bool = False):
     """Hybrid eval rollouts on the mega step kernel (ops/pallas_step.py):
-    cells grouped by mod (one kernel per unique rod, cached), the group's
+    cells grouped by mod (one kernel per unique rod, via the shared
+    content-keyed mega-rollout LRU in core.fast_rollout), the group's
     per-cell MLP params vmapped over the kernel — the Pallas batching rule
     lifts the whole-Newton-solve launch over the cell axis. Returns trajs
     ordered like ``cells``."""
-    from ..core.fast_rollout import make_fast_rollout
+    from ..core.fast_rollout import mega_rollout_cached
     from ..training.train import _default_tol
 
     out = [None] * len(cells)
@@ -88,14 +89,17 @@ def _mega_nn_rollouts(cells, spec: MLPSpec, params_list, controls,
         by_mod.setdefault(c.mod, []).append(i)
     for mod, idxs in by_mod.items():
         rod = apply_mod(mod, original=original)
-        key = (mod, original, spec, interpret, controls.shape)
-        roll = _MEGA_EVAL_CACHE.get(key)
-        if roll is None:
-            roll = jax.jit(jax.vmap(
-                make_fast_rollout(rod, spec, tol=_default_tol(rod.dtype),
-                                  impl="mega", interpret=interpret),
-                in_axes=(None, 0)))
-            _MEGA_EVAL_CACHE[key] = roll
+        base = mega_rollout_cached(rod, spec, tol=_default_tol(rod.dtype),
+                                   interpret=interpret)
+        # one vmapped wrapper per cached base rollout (vmap is cheap to
+        # re-derive but jit caching keys on the wrapper object identity;
+        # the entry holds base so the id key cannot alias after GC)
+        hit = _MEGA_VMAP_CACHE.get(id(base))
+        if hit is not None and hit[0] is base:
+            roll = hit[1]
+        else:
+            roll = jax.jit(jax.vmap(base, in_axes=(None, 0)))
+            _MEGA_VMAP_CACHE[id(base)] = (base, roll)
         params_st = jax.tree.map(lambda *xs: jnp.stack(xs),
                                  *[params_list[i] for i in idxs])
         trajs, _, _ = roll(controls[None], params_st)   # (G, 1, T, N, 50)

@@ -310,9 +310,12 @@ def _make_run_one(spec: MLPSpec, cfg, n_epochs: int, interpret: bool):
         C = Bt * Tm1 * K
         if C > MAX_CELLS:
             raise ValueError(f"{C} cells > MAX_CELLS={MAX_CELLS}")
-        tile = min(CELL_TILE, ((C + 127) // 128) * 128)
-        Cp = ((C + tile - 1) // tile) * tile
-        n_tiles = Cp // tile
+        # pick n_tiles first, then the smallest 128-aligned tile that
+        # covers C/n_tiles — padding stays 128-granular (C=1100 pads to
+        # 1280, not a full extra 1024-lane tile)
+        n_tiles = -(-C // CELL_TILE)
+        tile = ((-(-C // n_tiles) + 127) // 128) * 128
+        Cp = n_tiles * tile
 
         def lanes(a):   # (B, T-1, K, d) -> (n_tiles, d, tile), f32 boundary
             flat = a.reshape(C, a.shape[-1])

@@ -32,6 +32,11 @@ class ShardedTrainer:
     MLP params shard over "model" (see mesh.shard_params_tp). Losses are
     summed over the batch exactly like the host trainer, so results are
     independent of the mesh shape (up to float reduction order).
+
+    SINGLE-SHOT: each instance runs one training. The round-2 class's
+    incremental ``fit(); fit()`` continuation folded into train_knode's
+    resume_from/checkpoint machinery; a second fit() raises instead of
+    silently restarting from scratch.
     """
 
     def __init__(self, mesh: Mesh, p_mod: RodParams, cfg: TrainConfig):
@@ -46,6 +51,11 @@ class ShardedTrainer:
         """Run ``epochs`` optimizer steps of the full sharded trainer;
         returns the per-epoch loss list. Optional validation args enable
         the eval/best-DTW loop exactly as on a single device."""
+        if self._params is not None:
+            raise RuntimeError(
+                "ShardedTrainer is a single-shot shim over "
+                "train_knode(mesh=); for incremental training call "
+                "train_knode with checkpoint_path= and resume_from=")
         epochs = epochs or self.cfg.epochs
         cfg = dataclasses.replace(self.cfg, epochs=max(int(epochs) - 1, 0))
         res = train_knode(self.p, trajs, controls, cfg,

@@ -65,6 +65,12 @@ class TrainConfig:
     # "host" = the reference's fastdtw approximation on host. Both select
     # the same best epoch (tests/test_training.py pins it).
     eval_dtw: str = "device"
+    # validation rollout implementation: "auto" = the mega step kernel on
+    # TPU (whole Newton solve per launch) and the XLA scan elsewhere;
+    # "xla" forces the scan path (robust newton_solve) if a marginal
+    # model's validation rollout misbehaves under the kernel; "mega"
+    # forces the kernel.
+    eval_impl: str = "auto"
 
     def spec(self) -> MLPSpec:
         return MLPSpec.for_knode(self.hidden, self.history, self.activation)
@@ -221,32 +227,13 @@ def rollout_with_nn(p: RodParams, controls, spec: MLPSpec, nn_params,
     if tol is None:
         tol = _default_tol(p.dtype)
     if impl == "mega":
-        from ..core.fast_rollout import make_fast_rollout
-        roll = _mega_rollout_cached(p, spec, tol, max_iter, method)
+        from ..core.fast_rollout import mega_rollout_cached
+        roll = mega_rollout_cached(p, spec, tol=tol, max_iter=max_iter,
+                                   method=method)
         traj, _, _ = roll(jnp.asarray(controls, p.dtype)[None], nn_params)
         return traj[0]
     return _rollout_with_nn_xla(p, controls, spec, nn_params, method, tol,
                                 max_iter)
-
-
-_MEGA_CACHE: dict = {}
-
-
-def _mega_rollout_cached(p: RodParams, spec, tol, max_iter, method):
-    """One jitted mega-kernel rollout per (rod-id, spec, tol) — repeated
-    eval calls (eval_every boundaries, eval sweeps) reuse the compile.
-    The cache entry holds the rod itself: id() keys are only unique while
-    the object is alive, so keeping the reference prevents a freed id
-    from aliasing to a different rod's kernel."""
-    key = (id(p), spec, float(tol), int(max_iter), method)
-    hit = _MEGA_CACHE.get(key)
-    if hit is not None and hit[0] is p:
-        return hit[1]
-    from ..core.fast_rollout import make_fast_rollout
-    fn = jax.jit(make_fast_rollout(p, spec, tol=tol, max_iter=max_iter,
-                                   impl="mega", method=method))
-    _MEGA_CACHE[key] = (p, fn)
-    return fn
 
 
 def train_knode(
@@ -319,9 +306,20 @@ def train_knode(
     do_eval = (validation_controls is not None
                and validation_reference is not None)
     # validation rollouts ride the mega step kernel on TPU (one Newton
-    # shooting solve per launch); XLA scan elsewhere / under a mesh
-    eval_impl = ("mega" if (mesh is None
-                            and jax.default_backend() == "tpu") else "xla")
+    # shooting solve per launch); XLA scan elsewhere / under a mesh.
+    # cfg.eval_impl overrides (see TrainConfig).
+    if cfg.eval_impl == "auto":
+        eval_impl = ("mega" if (mesh is None
+                                and jax.default_backend() == "tpu")
+                     else "xla")
+    else:
+        eval_impl = cfg.eval_impl
+    if do_eval:
+        # accept BOTH trajectory layouts like evaluation.metrics.tip_dtw:
+        # state-last (T, N, >=19) or the reference's (T, >=19, N)
+        validation_reference = np.asarray(validation_reference)
+        if validation_reference.shape[-1] < 19:
+            validation_reference = np.moveaxis(validation_reference, 1, 2)
 
     # Epochs run on device in chunks (zero per-epoch host dispatch); the
     # host only intervenes at eval/log boundaries. When the fused

@@ -161,6 +161,44 @@ def test_eval_dtw_device_matches_host_selection():
     assert res_d.best_dtw == pytest.approx(res_h.best_dtw, rel=1e-6)
 
 
+def test_validation_reference_accepts_both_layouts():
+    """train_knode accepts the reference project's (T, 25, N) validation
+    layout as well as state-last (T, N, 25) — device-DTW scoring must not
+    silently transpose-garble it (advisor-style regression)."""
+    from knode_cosserat_tpu.training import make_validation_reference
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    vc, vr = make_validation_reference(ref, ("sine", 1.25), eval_len=6)
+    kw = dict(epochs=2, hidden=16, dtype="float64", eval_every=2,
+              log_every=1000)
+    res_a = train_knode(p_mod, trajs, ctls, TrainConfig(**kw), vc, vr,
+                        eval_rod=p_mod, log=None)
+    vr_ref_layout = np.moveaxis(np.asarray(vr), 1, 2)    # (T, 25, N)
+    res_b = train_knode(p_mod, trajs, ctls, TrainConfig(**kw), vc,
+                        vr_ref_layout, eval_rod=p_mod, log=None)
+    np.testing.assert_allclose([d for _, d in res_a.dtw_history],
+                               [d for _, d in res_b.dtw_history],
+                               rtol=1e-9)
+
+
+def test_sharded_trainer_is_single_shot():
+    from knode_cosserat_tpu.parallel import ShardedTrainer, make_mesh
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=6)
+    st = ShardedTrainer(make_mesh(data=2),  p_mod,
+                        TrainConfig(epochs=2, hidden=16, dtype="float32",
+                                    log_every=1000))
+    st.fit(np.asarray(trajs, np.float32), np.asarray(ctls, np.float32),
+           epochs=2)
+    with pytest.raises(RuntimeError, match="single-shot"):
+        st.fit(np.asarray(trajs, np.float32), np.asarray(ctls, np.float32),
+               epochs=2)
+
+
 def test_rollout_with_nn_mega_matches_xla():
     """The mega-kernel hybrid rollout (interpret) == the XLA scan rollout
     to solver tolerance — the eval fast path is trustworthy."""
