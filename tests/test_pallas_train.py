@@ -294,6 +294,20 @@ def test_grid_train_fused_matches_xla():
                                        rtol=3e-3, atol=3e-5)
 
 
+def test_train_real_config_qualifies_for_fused():
+    """The train-real CLI config (wd=0.1, keypoints [1,3,6,9], 4 x 119
+    steps = 1904 cells) rides the fused trainer — weight decay and cell
+    tiling both in scope (round-2 verdict item 1)."""
+    from knode_cosserat_tpu.training.loss import DEFAULT_KEYPOINTS_REAL
+    from knode_cosserat_tpu.training.train import _resolve_fused
+
+    cfg = TrainConfig(weight_decay=0.1, keypoints=DEFAULT_KEYPOINTS_REAL,
+                      dtype="float32", fused="on")
+    n_cells = 4 * 119 * len(DEFAULT_KEYPOINTS_REAL)
+    # "on" raises for unsupported configs; returning "on" == qualifies
+    assert _resolve_fused(cfg, cfg.spec(), n_cells, None) == "on"
+
+
 def test_fused_training_chunked_resume():
     """Two chunked fused runs with opt-state round-trip == one long run
     (global Adam step count, plateau state, moments all compose)."""
