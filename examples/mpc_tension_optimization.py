@@ -57,5 +57,36 @@ def main(steps: int = 8, iters: int = 60, lr: float = 0.3):
     return err
 
 
+def main_receding_horizon(horizon: int = 10, n_steps: int = 12):
+    """The product controller (control/mpc.py): receding-horizon MPC
+    tracking a time-varying tip reference, each plan ONE jitted program."""
+    from knode_cosserat_tpu import apply_mod
+    from knode_cosserat_tpu.control import (MPCController, PlanState,
+                                            rollout_tips)
+
+    p = apply_mod(None)
+    # reference track: tips of a "secret" sinusoidal tension schedule
+    t = np.arange(n_steps + horizon)
+    u_ref = np.zeros((len(t), 4), np.float32)
+    u_ref[:, 0] = 6.0 + 4.0 * np.sin(0.4 * t)
+    u_ref[:, 1] = 3.0
+    tips_ref, _ = rollout_tips(p, PlanState.initial(p), jnp.asarray(u_ref))
+    tips_ref = np.asarray(tips_ref)
+
+    ctl = MPCController(p, horizon=horizon, first_iters=120, replan_iters=60,
+                        opt_lr=0.3, u_max=20.0)
+    errs = []
+    for k in range(n_steps):
+        u0, info = ctl.act(tips_ref[k:k + horizon])
+        e = float(np.linalg.norm(np.asarray(info["tip"]) - tips_ref[k]))
+        errs.append(e)
+        print(f"step {k:2d}  u {np.round(np.asarray(u0), 2)}  "
+              f"tip err {e*1000:.2f} mm")
+    print(f"mean tracking error: {np.mean(errs)*1000:.2f} mm")
+    return float(np.mean(errs))
+
+
 if __name__ == "__main__":
     main()
+    print()
+    main_receding_horizon()

@@ -26,3 +26,4 @@ from .core.rhs import rhs
 from .core.stepper import simulate, simulate_scan, initial_state, SimOutput
 from .core.fast_rollout import make_fast_rollout, make_fast_step
 from .controls import calc_controls
+from .control import MPCController, make_planner
