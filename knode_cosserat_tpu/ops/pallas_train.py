@@ -26,11 +26,11 @@ optax.contrib.reduce_on_plateau(factor, patience, rtol=1e-4, atol=0,
 cooldown=0, accumulation_size=1) and clamp_nonnegative after every step —
 the same chain as training.train.make_optimizer.
 
-Cells beyond one VMEM tile are processed by an in-kernel fori_loop over
-lane tiles of ``CELL_TILE`` (loss and weight gradients accumulate across
-tiles before the optimizer update), so the cap is MAX_CELLS=8192 padded
-cells — enough for train-real (4 x 119 x 4 = 1904 cells) and every
-reference training config.
+Cells beyond one VMEM tile (``CELL_TILE`` lanes) are processed by an
+in-kernel fori_loop over lane tiles (loss and weight gradients accumulate
+across tiles before the optimizer update), so the cap is MAX_CELLS=8192
+padded cells — enough for train-real (4 x 119 x 4 = 1904 cells, one tile)
+and every reference training config.
 
 Scope guards (callers fall back to the XLA epoch scan otherwise): 2-layer
 MLP (the reference architecture — its --layers flag is the hidden WIDTH)
@@ -68,7 +68,12 @@ __all__ = ["make_fused_training_run", "make_fused_grid_training_run",
            "optax_state_from_fused"]
 
 MAX_CELLS = 8192
-CELL_TILE = 1024
+# Lane-tile width for the in-kernel fori_loop over cells. 2048 keeps the
+# whole reference training config (1100 cells) AND train-real (1904 cells)
+# in ONE tile — measured ~30% faster than splitting 1100 cells into 2x640
+# (two half-width MXU matmuls per epoch plus loop overhead) — while the
+# per-tile intermediates (~5 arrays x 2048 lanes) stay ~1.2 MB of VMEM.
+CELL_TILE = 2048
 _ADAM_B1 = 0.9
 _ADAM_B2 = 0.999
 _ADAM_EPS = 1e-8
@@ -423,8 +428,14 @@ def _make_run_one(spec: MLPSpec, cfg, n_epochs: int, interpret: bool):
             zero = jnp.zeros((), f32)
             acc0 = (zero, jnp.zeros_like(W1), jnp.zeros_like(B1),
                     jnp.zeros_like(W2), jnp.zeros_like(B2))
-            loss, dW1, dB1, dW2, dB2 = jax.lax.fori_loop(
-                0, n_tiles, tile_body, acc0)
+            if n_tiles == 1:
+                # single tile (every reference config): no loop carry — the
+                # accumulators would otherwise defeat Mosaic's fusion of the
+                # backward matmuls into the adds
+                loss, dW1, dB1, dW2, dB2 = tile_body(0, acc0)
+            else:
+                loss, dW1, dB1, dW2, dB2 = jax.lax.fori_loop(
+                    0, n_tiles, tile_body, acc0)
 
             # ---- reduce_on_plateau (optax.contrib semantics,
             # accumulation_size=1, cooldown=0, atol=0) ----

@@ -133,17 +133,22 @@ class CompiledStepper:
                         G=G_new)
         return new, {"residual": res}
 
-    def benchmark(self, n: int = 100) -> dict:
-        """Steady-state latency of the compiled step."""
+    def benchmark(self, n: int = 100, reps: int = 3) -> dict:
+        """Steady-state latency of the compiled step: best of ``reps``
+        timed loops of ``n`` steps (a remote-attached chip — e.g. the axon
+        tunnel — adds host-round-trip jitter that a single loop can double;
+        the min is the honest dispatch+device time)."""
         state = self.reset()
         tensions = self._tensions_like() + 5.0
         state, _ = self.step(state, tensions)  # warm
         jax.block_until_ready(state.y)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            state, _ = self.step(state, tensions)
-        jax.block_until_ready(state.y)
-        dt = (time.perf_counter() - t0) / n
+        dt = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                state, _ = self.step(state, tensions)
+            jax.block_until_ready(state.y)
+            dt = min(dt, (time.perf_counter() - t0) / n)
         return {"latency_ms": dt * 1e3,
                 "steps_per_sec": (self.batch or 1) / dt,
                 "realtime_factor": float(self.p.del_t) / dt}
