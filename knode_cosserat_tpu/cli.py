@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import os
 import sys
+from functools import partial
 
 import numpy as np
 
@@ -108,7 +109,7 @@ def cmd_simulate(args):
     from .training.checkpoint import load_checkpoint
     from .training.train import rollout_with_nn
 
-    p = apply_mod(args.mod, original=args.original)
+    p = apply_mod(args.mod, original=args.original, N=args.nodes)
     if args.real_data:
         data = np.load(args.real_data, allow_pickle=True)
         controls = np.asarray(data["controls"])[: args.steps]
@@ -130,6 +131,16 @@ def cmd_simulate(args):
                 else "xla")
         traj = np.asarray(rollout_with_nn(p, jnp.asarray(controls, p.dtype),
                                           spec, params, impl=impl))
+    elif args.segments:
+        # parallel-in-space Newton (multiple shooting) — the fine-rod
+        # (N >> 100) latency path; see core/multiple_shooting.py
+        import jax
+        import jax.numpy as jnp
+        from .core.multiple_shooting import simulate_scan_ms
+        out = jax.jit(partial(simulate_scan_ms,
+                              n_segments=args.segments))(
+                                  p, jnp.asarray(controls, p.dtype))
+        traj = np.asarray(out.traj)
     elif args.fast:
         import jax
         import jax.numpy as jnp
@@ -375,6 +386,11 @@ def main(argv=None):
     sp.add_argument("--original", action="store_true")
     sp.add_argument("--model", type=str, default=None)
     sp.add_argument("--real_data", type=str, default=None)
+    sp.add_argument("--nodes", type=int, default=10,
+                    help="rod node count N (default 10)")
+    sp.add_argument("--segments", type=int, default=0,
+                    help="parallel-in-space multiple shooting with S "
+                         "segments (must divide N-1); the fine-rod path")
     sp.add_argument("--fast", action="store_true",
                     help="mega-kernel Pallas rollout (TPU); composes "
                          "with --model for hybrid rollouts")

@@ -1,0 +1,217 @@
+"""Parallel-in-space Newton: multiple shooting over rod segments.
+
+The spatial sweep (core/spatial.integrate_euler — reference
+cosserat_ode.py:188-213) is a sequential recurrence over N-1 nodes: its
+wall time on TPU is latency x N, not FLOPs, because each step is a tiny
+stencil. For fine rods (N >> 100, e.g. convergence studies or long
+catheters) that serial chain dominates the whole simulator.
+
+Multiple shooting breaks the chain (SURVEY.md §5's "parallel-in-space
+Newton formulation"): split the rod into S segments of m = (N-1)/S
+steps, promote the S-1 interior segment-start states to unknowns, and
+solve for
+
+    X = [ G (6),  y_seg1 (19), ..., y_seg(S-1) (19) ]
+
+with the residual stacking (a) state continuity at every interior
+boundary and (b) the tip force/moment boundary condition. All S segment
+sweeps run as ONE vmapped scan of length m — sequential depth drops
+S-fold while the extra work rides the TPU's idle vector lanes. The
+converged solution satisfies the SAME discrete equations as single
+shooting (continuity is closed to solver tolerance), so trajectories
+match core/stepper.simulate_scan to Newton precision — pinned by
+tests/test_multiple_shooting.py.
+
+The segment axis is embarrassingly parallel (the vmapped sweep has no
+cross-segment dependency until the cheap residual stack), so on a device
+mesh it shards over the "seq" axis like any batch dimension.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .params import RodParams
+from .rhs import rhs
+from .shooting import NewtonStats
+from .spatial import base_state
+from .stepper import SimOutput, initial_state
+
+__all__ = ["ms_solve_step", "simulate_scan_ms"]
+
+
+def _segment_sweeps(p: RodParams, starts, yh_segs, zh_segs, tf, nn_fn,
+                    nn_history):
+    """All S segment sweeps at once: starts (S, 19), yh_segs (S, m, 19),
+    zh_segs (S, m, 6) -> (y_nodes (S, m, 19), z (S, m, 6), ends (S, 19)).
+    One scan of length m over a width-S batch (vs one scan of length S*m)."""
+
+    def sweep(y_start, yh_seg, zh_seg):
+        def step(yj, inp):
+            yhj, zhj = inp
+            dy, zj = rhs(p, yj, yhj, zhj, tf, nn_fn, nn_history)
+            y_next = yj + p.ds * dy
+            return y_next, (y_next, zj)
+
+        y_end, (ys, zs) = lax.scan(step, y_start, (yh_seg, zh_seg))
+        return ys, zs, y_end
+
+    return jax.vmap(sweep)(starts, yh_segs, zh_segs)
+
+
+def _ms_residual(p: RodParams, X, yh_segs, zh_segs, tf, S, nn_fn,
+                 nn_history):
+    """Stacked residual: [continuity (19*(S-1)), tip force/moment (6)]."""
+    G = X[:6]
+    Yb = X[6:].reshape(S - 1, 19)
+    starts = jnp.concatenate([base_state(p, G)[None], Yb], axis=0)
+    _, _, ends = _segment_sweeps(p, starts, yh_segs, zh_segs, tf, nn_fn,
+                                 nn_history)
+    cont = (ends[:-1] - Yb).reshape(-1)
+    tip = jnp.concatenate([p.F_tip - ends[-1, 7:10],
+                           p.M_tip - ends[-1, 10:13]])
+    return jnp.concatenate([cont, tip])
+
+
+def _newton_dense(residual_fn, X0, tol, max_iter, max_backtracks=6,
+                  lm_lambda0=1e-4, lm_growth=30.0, max_escalations=4):
+    """Damped Newton with vmapped line search and LM stall escalation for
+    the (6 + 19*(S-1))-dim multiple-shooting system. Same algorithm as
+    core/shooting.newton_solve, but the linear solve is jnp.linalg.solve
+    (LU) — solve_small's unrolled elimination is built for 6x6, not ~139^2."""
+    dtype = X0.dtype
+    d = X0.shape[-1]
+    eye = jnp.eye(d, dtype=dtype)
+    alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
+    lam0 = jnp.asarray(lm_lambda0, dtype)
+
+    def cond(state):
+        X, r, r2, it, lam, fails, retries = state
+        return (r2 > tol) & (it < max_iter) & (fails <= max_escalations)
+
+    def body(state):
+        X, r, r2, it, lam, fails, retries = state
+        J = jax.jacfwd(residual_fn)(X)
+        D = jnp.maximum(jnp.abs(jnp.diagonal(J)), 1.0)
+        J = J + lam * D * eye
+        dX = jnp.linalg.solve(J, -r)
+        dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
+
+        X_cand = X[None, :] + alphas[:, None] * dX[None, :]
+        r_cand = jax.vmap(residual_fn)(X_cand)
+        r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
+        improves = r2_cand < r2
+        idx = jnp.argmax(improves)
+        found = jnp.any(improves)
+        pick = jnp.where(found, idx, 0)
+        X_new = jnp.where(found, X_cand[pick], X)
+        r_new = jnp.where(found, r_cand[pick], r)
+        r2_new = jnp.where(found, r2_cand[pick], r2)
+        lam_new = jnp.where(found, 0.0, jnp.maximum(lam * lm_growth, lam0))
+        fails = jnp.where(found, 0, fails + 1)
+        retries = retries + jnp.where(found, 0, 1).astype(jnp.int32)
+        return (X_new, r_new, r2_new, it + 1, lam_new.astype(dtype),
+                fails, retries)
+
+    r0 = residual_fn(X0)
+    state0 = (X0, r0, jnp.sum(r0 * r0), jnp.array(0, jnp.int32),
+              jnp.zeros((), dtype), jnp.array(0, jnp.int32),
+              jnp.array(0, jnp.int32))
+    X, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
+    return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
+
+
+def ms_solve_step(p: RodParams, yh, zh, tf, X0, n_segments: int,
+                  nn_fn=None, nn_history: bool = False,
+                  tol: float = 1e-10, max_iter: int = 50):
+    """Solve one BDF-2 step by multiple shooting.
+
+    Args:
+      yh/zh: (N, 19)/(N, 6) BDF-2 history; tf: (3,) tendon force.
+      X0: (6 + 19*(S-1),) warm start — [G_guess, boundary states].
+    Returns (y (N, 19), z_body (N-1, 6), X_solved, stats)."""
+    S = int(n_segments)
+    m = (p.N - 1) // S
+    if m * S != p.N - 1:
+        raise ValueError(f"n_segments={S} must divide N-1={p.N - 1}")
+    yh_segs = yh[:-1].reshape(S, m, 19)
+    zh_segs = zh[:-1].reshape(S, m, 6)
+    res = partial(_ms_residual, p, yh_segs=yh_segs, zh_segs=zh_segs, tf=tf,
+                  S=S, nn_fn=nn_fn, nn_history=nn_history)
+    X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
+
+    # reconstruct the full rod state from the solved unknowns
+    G = X[:6]
+    Yb = X[6:].reshape(S - 1, 19)
+    starts = jnp.concatenate([base_state(p, G)[None], Yb], axis=0)
+    ys, zs, _ = _segment_sweeps(p, starts, yh_segs, zh_segs, tf, nn_fn,
+                                nn_history)
+    y = jnp.concatenate([starts[0][None], ys.reshape(p.N - 1, 19)], axis=0)
+    z_body = zs.reshape(p.N - 1, 6)
+    return y, z_body, X, stats
+
+
+def simulate_scan_ms(
+    p: RodParams,
+    controls: jnp.ndarray,
+    n_segments: int,
+    nn_fn: Optional[Callable] = None,
+    nn_history: bool = False,
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+) -> SimOutput:
+    """Rollout with the parallel-in-space solver — the drop-in analogue of
+    core/stepper.simulate_scan (same trajectory contract and quirks: [:-1]
+    drop, frozen tip z, [y, z, yh, zh] records) for fine rods.
+
+    Warm starts: G extrapolates across time (2G - G_prev) like the
+    sequential path; the boundary-state unknowns start at the CURRENT
+    node states (the previous converged step), which is the natural
+    multiple-shooting warm start — one or two Newton iterations per step
+    in steady state."""
+    if tol is None:
+        tol = 1e-16 if jnp.dtype(p.dtype) == jnp.float64 else 1e-10
+    S = int(n_segments)
+    m = (p.N - 1) // S
+    if m * S != p.N - 1:
+        raise ValueError(f"n_segments={S} must divide N-1={p.N - 1}")
+    bidx = (jnp.arange(1, S) * m)          # interior boundary node indices
+
+    y0, z0 = initial_state(p)
+    dtype = y0.dtype
+    G0 = jnp.zeros(6, dtype)
+    z_tip = z0[-1]
+
+    def step(carry, tensions):
+        y, z, y_prev, z_prev, G, G_prev = carry
+        yh = p.c1 * y + p.c2 * y_prev
+        zh = p.c1 * z + p.c2 * z_prev
+        tf = jnp.einsum("t,tc->c", jnp.asarray(tensions, dtype),
+                        jnp.asarray(p.tendon_dirs, dtype),
+                        precision=jax.lax.Precision.HIGHEST)
+        X0 = jnp.concatenate([2.0 * G - G_prev, y[bidx].reshape(-1)])
+        y_new, z_body, X, stats = ms_solve_step(
+            p, yh, zh, tf, X0, S, nn_fn, nn_history, tol, max_iter)
+        G_new = X[:6]
+        z_new = jnp.concatenate([z_body, z_tip[None]], axis=0)
+        record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
+        new_carry = (y_new, z_new, y, z, G_new, G)
+        return new_carry, (record, G_new, stats.iterations,
+                           stats.residual_norm, stats.lm_retries)
+
+    T = controls.shape[0]
+    carry0 = (y0, z0, y0, z0, G0, G0)
+    _, (records, Gs, iters, res, lm) = lax.scan(step, carry0,
+                                                controls[: T - 1])
+
+    rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
+    traj = jnp.concatenate([rec0, records], axis=0)
+    Gs = jnp.concatenate([G0[None], Gs], axis=0)
+    iters = jnp.concatenate([jnp.zeros(1, iters.dtype), iters])
+    res = jnp.concatenate([jnp.zeros(1, res.dtype), res])
+    lm = jnp.concatenate([jnp.zeros(1, lm.dtype), lm])
+    return SimOutput(traj, Gs, iters, res, lm)
