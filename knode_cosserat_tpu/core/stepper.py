@@ -76,7 +76,7 @@ def simulate_scan(
     nn_fn: Optional[Callable] = None,
     nn_history: bool = False,
     method: str = "euler",
-    tol: float = 1e-16,
+    tol: Optional[float] = None,
     max_iter: int = 50,
     differentiable: bool = False,
     remat: bool = False,
@@ -100,6 +100,10 @@ def simulate_scan(
     activation memory — the rebuild's "long context" lever (SURVEY.md
     section 5).
     """
+    if tol is None:
+        # sum(r^2) < 1e-16 is unreachable in f32 — it would silently turn
+        # every Newton solve into max_iter iterations; pick by dtype
+        tol = 1e-16 if jnp.dtype(p.dtype) == jnp.float64 else 1e-10
     y0, z0 = initial_state(p)
     dtype = y0.dtype
     G0 = jnp.zeros(6, dtype)
@@ -178,7 +182,7 @@ def simulate(
     nn_fn: Optional[Callable] = None,
     nn_history: bool = False,
     method: str = "euler",
-    tol: float = 1e-16,
+    tol: Optional[float] = None,
     max_iter: int = 50,
     reference_layout: bool = False,
 ):

@@ -16,12 +16,14 @@ from __future__ import annotations
 
 import json
 import os
+import queue
+import threading
 from typing import Any, Optional
 
 import jax
 import numpy as np
 
-__all__ = ["save_checkpoint", "load_checkpoint"]
+__all__ = ["save_checkpoint", "load_checkpoint", "AsyncCheckpointWriter"]
 
 
 def _serialize(tree, leaves: list):
@@ -79,6 +81,84 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None,
     np.savez_compressed(path, __structure__=json.dumps(structure),
                         __meta__=json.dumps(meta or {}), **arrays)
     return path
+
+
+class AsyncCheckpointWriter:
+    """Non-blocking checkpoint writes for long training/grid runs.
+
+    ``save`` snapshots the pytree (jax arrays are immutable, so holding
+    references is safe — no copy on the caller's thread) and enqueues the
+    device->host transfer + serialization on a worker thread; the training
+    loop never stalls on checkpoint IO (the roadmap "async checkpointing
+    for long grid runs" item). ``use_orbax=True`` writes through
+    ``orbax.checkpoint.AsyncCheckpointer`` (directory format) instead of
+    the npz codec; both load back with ``load_checkpoint``.
+
+    Writes to the same writer are ordered; ``wait()`` blocks until every
+    enqueued save is durable (and re-raises the first worker error).
+    Usable as a context manager.
+    """
+
+    def __init__(self, use_orbax: bool = False):
+        self._use_orbax = use_orbax
+        self._q: "queue.Queue" = queue.Queue()
+        self._err: Optional[BaseException] = None
+        self._orbax_ckptr = None
+        if use_orbax:
+            import orbax.checkpoint as ocp
+            self._orbax_ckptr = ocp.AsyncCheckpointer(
+                ocp.PyTreeCheckpointHandler())
+        self._thread = threading.Thread(target=self._worker, daemon=True)
+        self._thread.start()
+
+    def _worker(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                self._q.task_done()
+                return
+            path, tree, meta = item
+            try:
+                if self._orbax_ckptr is not None:
+                    path = os.path.abspath(path)
+                    self._orbax_ckptr.save(path, jax.device_get(tree),
+                                           force=True)
+                    self._orbax_ckptr.wait_until_finished()
+                    if meta:
+                        with open(os.path.join(path, "meta.json"), "w") as f:
+                            json.dump(meta, f)
+                else:
+                    save_checkpoint(path, tree, meta)
+            except BaseException as e:  # surfaced by wait()
+                if self._err is None:
+                    self._err = e
+            finally:
+                self._q.task_done()
+
+    def save(self, path: str, tree: Any, meta: Optional[dict] = None):
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+        self._q.put((path, tree, meta))
+
+    def wait(self):
+        self._q.join()
+        if self._err is not None:
+            err, self._err = self._err, None
+            raise err
+
+    def close(self):
+        self.wait()
+        self._q.put(None)
+        self._q.join()
+        self._thread.join(timeout=10)
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+        return False
 
 
 def load_checkpoint(path: str, like: Any = None):

@@ -71,6 +71,9 @@ class TrainConfig:
     # model's validation rollout misbehaves under the kernel; "mega"
     # forces the kernel.
     eval_impl: str = "auto"
+    # write checkpoints on a background thread (AsyncCheckpointWriter) so
+    # long runs never stall on host IO at checkpoint boundaries
+    checkpoint_async: bool = False
 
     def spec(self) -> MLPSpec:
         return MLPSpec.for_knode(self.hidden, self.history, self.activation)
@@ -347,6 +350,10 @@ def train_knode(
     loss_hist = list(resumed_loss)
     dtw_hist = []
     best_dtw, best_params = np.inf, params
+    ckpt_writer = None
+    if checkpoint_path and getattr(cfg, "checkpoint_async", False):
+        from .checkpoint import AsyncCheckpointWriter
+        ckpt_writer = AsyncCheckpointWriter()
     t_start = time.perf_counter()
     t0_compiled = None
 
@@ -400,16 +407,21 @@ def train_knode(
             t0_compiled = time.perf_counter()
         epoch += n
         if checkpoint_path and (epoch % cfg.checkpoint_every) < n:
-            from .checkpoint import save_checkpoint
-            save_checkpoint(checkpoint_path,
-                            {"params": params, "opt_state": opt_state,
-                             "loss": np.asarray(loss_hist),
-                             "dtw": dtw_hist},
-                            meta={"epoch": epoch})
+            tree = {"params": params, "opt_state": opt_state,
+                    "loss": np.asarray(loss_hist), "dtw": dtw_hist}
+            if ckpt_writer is not None:
+                ckpt_writer.save(checkpoint_path, tree,
+                                 meta={"epoch": epoch})
+            else:
+                from .checkpoint import save_checkpoint
+                save_checkpoint(checkpoint_path, tree,
+                                meta={"epoch": epoch})
         if log and (epoch // chunk) % max(1, cfg.log_every // chunk) == 0:
             log(f"Epoch {epoch - 1} of {cfg.epochs}")
             log(f"Total loss: {losses[-1]:.6e}")
 
+    if ckpt_writer is not None:
+        ckpt_writer.close()   # all enqueued checkpoints durable
     elapsed = time.perf_counter() - (t0_compiled or t_start)
     eps = cfg.epochs / elapsed if elapsed > 0 else 0.0
     if not do_eval:

@@ -53,6 +53,40 @@ def test_checkpoint_load_without_like(tmp_path):
     assert loaded["b"][1] == 5
 
 
+def test_async_checkpoint_writer(tmp_path):
+    """Background-thread writes are ordered (last save wins), durable
+    after wait(), and load back identically."""
+    from knode_cosserat_tpu.training.checkpoint import AsyncCheckpointWriter
+    path = str(tmp_path / "async_ckpt")
+    with AsyncCheckpointWriter() as w:
+        for step in range(4):
+            w.save(path, {"x": jnp.full(3, float(step))},
+                   meta={"step": step})
+        w.wait()
+        loaded, meta = load_checkpoint(path)
+    assert meta == {"step": 3}
+    np.testing.assert_array_equal(loaded["x"], np.full(3, 3.0))
+
+
+def test_async_checkpoint_writer_orbax(tmp_path):
+    from knode_cosserat_tpu.training.checkpoint import AsyncCheckpointWriter
+    path = str(tmp_path / "orbax_ckpt")
+    with AsyncCheckpointWriter(use_orbax=True) as w:
+        w.save(path, {"x": jnp.arange(4.0)}, meta={"step": 7})
+        w.wait()
+        loaded, meta = load_checkpoint(path)
+    assert meta == {"step": 7}
+    np.testing.assert_array_equal(np.asarray(loaded["x"]), np.arange(4.0))
+
+
+def test_async_checkpoint_surfaces_errors(tmp_path):
+    from knode_cosserat_tpu.training.checkpoint import AsyncCheckpointWriter
+    w = AsyncCheckpointWriter()
+    w.save("/proc/definitely/not/writable/ckpt", {"x": jnp.ones(2)})
+    with pytest.raises(BaseException):
+        w.wait()
+
+
 # ---------------- metrics ----------------
 
 def test_dtw_identical_is_zero():

@@ -45,3 +45,21 @@ def test_f32_constitutive_solve_conditioning():
     rel = np.abs(np.asarray(z32, np.float64) - np.asarray(z64)) / (
         np.abs(np.asarray(z64)) + 1e-12)
     assert rel.max() < 1e-4
+
+
+def test_default_tol_is_dtype_appropriate():
+    """simulate_scan's default Newton tolerance must be reachable in the
+    rollout dtype: an f32 rollout with the defaults may not burn max_iter
+    iterations on every step (sum(r^2) < 1e-16 is below f32 resolution)."""
+    import jax.numpy as jnp
+
+    from knode_cosserat_tpu import calc_controls, make_rod
+    from knode_cosserat_tpu.core.stepper import simulate_scan
+
+    p32 = make_rod(N=10, dtype=jnp.float32)
+    ctl = jnp.asarray(calc_controls("sine", 0.5, float(p32.del_t), 12),
+                      jnp.float32)
+    out = simulate_scan(p32, ctl)
+    iters = np.asarray(out.newton_iters)[1:]
+    assert iters.mean() < 10, iters
+    assert np.asarray(out.residuals).max() < 1e-4

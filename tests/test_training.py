@@ -285,3 +285,28 @@ def test_history_variant_loss_parity_vs_reference_torch():
     theirs = _reference_fast_loss(robot, traj_ref, np.asarray(ctls[0]),
                                   (3, 5, 7, 9))
     assert ours == pytest.approx(theirs, rel=2e-4), (ours, theirs)
+
+
+def test_train_knode_async_checkpointing(tmp_path):
+    """cfg.checkpoint_async writes checkpoints on a background thread; the
+    final checkpoint is durable when train_knode returns and resumes
+    identically to a sync-written one."""
+    from knode_cosserat_tpu.training.checkpoint import load_checkpoint
+
+    ref = apply_mod(None)
+    p_mod = apply_mod("nsw")
+    trajs, ctls = make_training_data(ref, [("sine", 0.5)], train_len=6)
+    kw = dict(epochs=4, hidden=16, dtype="float64", checkpoint_every=2,
+              log_every=1000)
+    ck_async = str(tmp_path / "ck_async")
+    ck_sync = str(tmp_path / "ck_sync")
+    train_knode(p_mod, trajs, ctls,
+                TrainConfig(checkpoint_async=True, **kw),
+                checkpoint_path=ck_async, log=None)
+    train_knode(p_mod, trajs, ctls, TrainConfig(**kw),
+                checkpoint_path=ck_sync, log=None)
+    tree_a, meta_a = load_checkpoint(ck_async)
+    tree_s, meta_s = load_checkpoint(ck_sync)
+    assert meta_a == meta_s
+    for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
