@@ -207,3 +207,26 @@ def test_sequence_parallel_matches_host():
                                    seed=1, log_every=1000), log=None)
     np.testing.assert_allclose(sharded_losses[:3], host.loss_history[:3],
                                rtol=1e-4)
+
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.slow
+def test_multiprocess_dryrun():
+    """The multi-process CI recipe (scripts/multiprocess_dryrun.py): two
+    OS processes rendezvous through jax.distributed, form one 8-device
+    global mesh, and run a cross-process psum. Validates
+    parallel/distributed.py end-to-end without a pod."""
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS", "JAX_PLATFORM_NAME")}
+    env["KNODE_MP_PORT"] = "52341"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "multiprocess_dryrun.py")],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
+    assert "MULTIPROCESS OK" in r.stdout
