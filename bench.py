@@ -315,9 +315,8 @@ def main():
 
     def epoch_matmul_flops(n_cells, hidden, din):
         # mirrors ops/pallas_train.precompute's tile padding exactly
-        from knode_cosserat_tpu.ops.pallas_train import CELL_TILE
-        n_tiles = -(-n_cells // CELL_TILE)
-        tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
+        from knode_cosserat_tpu.ops.pallas_train import _pick_tiling
+        n_tiles, tile = _pick_tiling(n_cells, hidden, din)
         return 2.0 * n_tiles * tile * hidden * (2 * din + 3 * 25)
 
     peak = _peak_flops(jax.devices()[0])

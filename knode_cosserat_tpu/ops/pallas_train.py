@@ -26,7 +26,7 @@ optax.contrib.reduce_on_plateau(factor, patience, rtol=1e-4, atol=0,
 cooldown=0, accumulation_size=1) and clamp_nonnegative after every step —
 the same chain as training.train.make_optimizer.
 
-Cells beyond one VMEM tile (``CELL_TILE`` lanes) are processed by an
+Cells beyond one VMEM tile (see ``_pick_tiling``) are processed by an
 in-kernel fori_loop over lane tiles (loss and weight gradients accumulate
 across tiles before the optimizer update), so the cap is MAX_CELLS=8192
 padded cells — enough for train-real (4 x 119 x 4 = 1904 cells, one tile)
@@ -68,12 +68,25 @@ __all__ = ["make_fused_training_run", "make_fused_grid_training_run",
            "optax_state_from_fused"]
 
 MAX_CELLS = 8192
-# Lane-tile width for the in-kernel fori_loop over cells. 2048 keeps the
-# whole reference training config (1100 cells) AND train-real (1904 cells)
-# in ONE tile — measured ~30% faster than splitting 1100 cells into 2x640
-# (two half-width MXU matmuls per epoch plus loop overhead) — while the
-# per-tile intermediates (~5 arrays x 2048 lanes) stay ~1.2 MB of VMEM.
-CELL_TILE = 2048
+# Per-core VMEM budget for choosing the lane-tile width. The live set at
+# peak is ~5 (hidden, tile) f32 intermediates (a1/hact, dh, da1, plus
+# Mosaic double-buffering headroom) + the (rows, tile) input tiles +
+# params/moments; measured on v5e: tile=1920 @ hidden=512 allocates 18.0M
+# (OOM, 16M limit), tile<=1280 fits. The model below reproduces both
+# data points with margin. Bigger tiles are faster (fewer, wider MXU
+# matmuls — measured ~30% going 2x640 -> 1x1152 at the reference config),
+# so pick the LARGEST tile the budget admits, then even out the cells
+# over the resulting tile count.
+VMEM_BUDGET = 13.5 * 2**20
+
+
+def _pick_tiling(n_cells: int, hidden: int, din: int):
+    """-> (n_tiles, tile): 128-aligned lane tile under the VMEM model."""
+    bytes_per_lane = 4 * (5 * hidden + din + 60)
+    tile_max = max(128, int(VMEM_BUDGET // bytes_per_lane) // 128 * 128)
+    n_tiles = -(-n_cells // tile_max)
+    tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
+    return n_tiles, tile
 _ADAM_B1 = 0.9
 _ADAM_B2 = 0.999
 _ADAM_EPS = 1e-8
@@ -315,11 +328,10 @@ def _make_run_one(spec: MLPSpec, cfg, n_epochs: int, interpret: bool):
         C = Bt * Tm1 * K
         if C > MAX_CELLS:
             raise ValueError(f"{C} cells > MAX_CELLS={MAX_CELLS}")
-        # pick n_tiles first, then the smallest 128-aligned tile that
-        # covers C/n_tiles — padding stays 128-granular (C=1100 pads to
-        # 1280, not a full extra 1024-lane tile)
-        n_tiles = -(-C // CELL_TILE)
-        tile = ((-(-C // n_tiles) + 127) // 128) * 128
+        # largest 128-aligned tile the VMEM budget admits, cells evened
+        # out over the resulting tile count (C=1100 @ hidden=512 -> one
+        # 1152-lane tile; train-real's 1904 -> 2 x 1024)
+        n_tiles, tile = _pick_tiling(C, hidden, din)
         Cp = n_tiles * tile
 
         def lanes(a):   # (B, T-1, K, d) -> (n_tiles, d, tile), f32 boundary

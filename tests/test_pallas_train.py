@@ -110,13 +110,15 @@ def test_fused_training_weight_decay_matches_adamw():
 
 def test_fused_training_cell_tiling(monkeypatch):
     """Cells beyond one VMEM tile accumulate across the in-kernel tile loop
-    — force multi-tile with a tiny CELL_TILE and pin parity."""
+    — force multi-tile with a tiny VMEM budget and pin parity."""
     import knode_cosserat_tpu.ops.pallas_train as pt
-    monkeypatch.setattr(pt, "CELL_TILE", 128)
+    monkeypatch.setattr(pt, "VMEM_BUDGET", 100_000.0)  # -> 128-lane tiles
     epochs = 20
-    p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=epochs)
+    p_mod, cfg, spec, params, trajs, ctls = _setup(epochs=epochs,
+                                                   train_len=20)
     n_cells = trajs.shape[0] * (trajs.shape[1] - 1) * 4
-    assert n_cells > 0
+    # the workload really is multi-tile under the shrunken budget
+    assert pt._pick_tiling(n_cells, spec.dims[1], spec.dims[0])[0] > 1
     run = pt.make_fused_training_run(p_mod, spec, cfg, epochs,
                                      interpret=True)
     p_fused, l_fused, _ = run(params, trajs, ctls)
