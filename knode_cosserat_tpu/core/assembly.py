@@ -1,0 +1,368 @@
+"""Multi-rod assemblies: parallel continuum robots on TPU.
+
+Several Cosserat rods clamped to a fixed base and rigidly attached to a
+common RIGID END PLATE — the standard parallel-continuum-robot topology
+(Till & Rucker-style). The reference (hsiehScalAR/KNODE-Cosserat) models a
+single rod only; its scalar-loop solvers cannot express the coupled
+boundary-value problem. Here the whole assembly solves as ONE Newton
+iteration on TPU:
+
+  unknowns  X = [G_1 .. G_M (6 each),  p_plate (3),  h_plate (4)]
+  residual  R = [tip position constraints        (3 per rod)
+                 tip orientation constraints     (3 per rod)
+                 plate Newton (force) balance    (3)
+                 plate Euler (moment) balance    (3)
+                 plate quaternion unit norm      (1)]
+
+All M rod sweeps integrate simultaneously (``jax.vmap`` over the stacked
+rod pytree — the same batching trick as core/multiple_shooting), so the
+sequential depth of a residual evaluation is N-1 regardless of M, and the
+Jacobian comes from ``jax.jacfwd`` like every other solver in this package.
+
+Physics conventions (matching core/rhs, reference cosserat_ode.py:114-186):
+  - y[7:10] = n, y[10:13] = m are the WORLD-frame internal force/moment, so
+    the single-rod tip BC n(L) = F_tip generalizes to: rod i pushes on the
+    plate with (-n_i(L), -m_i(L)) at its attachment point.
+  - Tendon tension enters as a distributed body force only (the reference's
+    simplification, cosserat_ode.py:150-151) — no tendon point loads are
+    applied to the plate.
+  - Plate translation/rotation dynamics use the SAME BDF-2 history scheme
+    as the rod states: x_t = c0*x + xh with xh = c1*x_prev + c2*x_prev2.
+
+A massless plate with a single rod attached at zero offset reduces exactly
+to the free-tip single-rod problem, so ``simulate_assembly`` with M=1
+matches core/stepper.simulate_scan to solver tolerance
+(tests/test_assembly.py pins it).
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, NamedTuple, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from .multiple_shooting import _newton_dense
+from .params import RodParams, _pytree_dataclass, make_rod
+from .shooting import NewtonStats
+from .spatial import base_state, integrate_euler
+from ..ops.quaternion import quat_to_rotmat
+
+__all__ = ["PlateParams", "RodAssembly", "make_ring_assembly", "stack_rods",
+           "assembly_solve_step", "simulate_assembly", "AssemblySimOutput"]
+
+
+# ------------------------------------------------------------ quaternions
+
+def _quat_mul(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product, [w, x, y, z] convention (matches ops/quaternion)."""
+    aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
+    bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
+    return jnp.stack([
+        aw * bw - ax * bx - ay * by - az * bz,
+        aw * bx + ax * bw + ay * bz - az * by,
+        aw * by - ax * bz + ay * bw + az * bx,
+        aw * bz + ax * by - ay * bx + az * bw,
+    ], axis=-1)
+
+
+def _quat_conj(a: jnp.ndarray) -> jnp.ndarray:
+    return a * jnp.asarray([1.0, -1.0, -1.0, -1.0], a.dtype)
+
+
+def _body_angular_velocity(h: jnp.ndarray, hdot: jnp.ndarray) -> jnp.ndarray:
+    """omega_body = 2 * vec(conj(h) * hdot) for (near-)unit h."""
+    return 2.0 * _quat_mul(_quat_conj(h), hdot)[..., 1:4]
+
+
+# ------------------------------------------------------------- parameters
+
+@_pytree_dataclass
+class PlateParams:
+    """Rigid end plate: mass/inertia + per-rod attachment geometry.
+
+    attach_offsets: (M, 3) attachment points in the PLATE body frame,
+      relative to the plate center of mass.
+    attach_quats: (M, 4) fixed rotation from plate frame to each rod's tip
+      frame (identity when rods meet the plate squarely).
+    mass/inertia: 0 / zeros(3,3) model a massless coupler (static plate
+      equilibrium — the M=1 free-tip reduction).
+    """
+    __static_fields__ = ()
+
+    mass: Any
+    inertia: Any            # (3, 3), plate body frame
+    attach_offsets: Any     # (M, 3)
+    attach_quats: Any       # (M, 4)
+    g: Any                  # (3,) gravity (world)
+
+    def replace(self, **kw) -> "PlateParams":
+        return dataclasses.replace(self, **kw)
+
+
+@_pytree_dataclass
+class RodAssembly:
+    """M rods + the rigid plate coupling them.
+
+    rods: a STACKED RodParams pytree (every array leaf carries a leading M
+    axis — see ``stack_rods``); all rods share N, n_tendons and del_t.
+    """
+    __static_fields__ = ("M",)
+
+    M: int
+    rods: RodParams
+    plate: PlateParams
+    # plate initial pose (consistent with the rods' straight initial state)
+    p_plate0: Any           # (3,)
+    h_plate0: Any           # (4,)
+
+    def replace(self, **kw) -> "RodAssembly":
+        return dataclasses.replace(self, **kw)
+
+    @property
+    def dtype(self):
+        return jnp.asarray(self.p_plate0).dtype
+
+
+def stack_rods(rods: Sequence[RodParams]) -> RodParams:
+    """Stack per-rod parameter pytrees along a new leading axis (static
+    fields must agree)."""
+    r0 = rods[0]
+    for r in rods[1:]:
+        if r.N != r0.N or r.n_tendons != r0.n_tendons:
+            raise ValueError("all rods in an assembly must share N and "
+                             "n_tendons")
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *rods)
+
+
+def make_ring_assembly(
+    n_rods: int = 3,
+    base_radius: float = 0.05,
+    plate_mass: float = 0.0,
+    plate_inertia: Optional[np.ndarray] = None,
+    N: int = 10,
+    dtype=None,
+    rod_fn: Optional[Callable[..., RodParams]] = None,
+    **rod_overrides,
+) -> RodAssembly:
+    """M identical vertical rods on a base circle of ``base_radius``, tips
+    attached to a rigid plate at the same radial pattern (the canonical
+    parallel-continuum-robot bench geometry).
+
+    rod_fn(N=, dtype=, p0=, **rod_overrides) -> RodParams; defaults to
+    core.params.make_rod (the paper rod, cosserat_ode.py:14-47).
+    """
+    rod_fn = rod_fn or make_rod
+    ang = 2.0 * np.pi * np.arange(n_rods) / n_rods
+    bases = np.stack([base_radius * np.cos(ang),
+                      base_radius * np.sin(ang),
+                      np.zeros(n_rods)], axis=-1)
+    rods = [rod_fn(N=N, dtype=dtype, p0=bases[i], **rod_overrides)
+            for i in range(n_rods)]
+    stacked = stack_rods(rods)
+    fdtype = stacked.dtype
+    L = float(np.asarray(rods[0].L))
+    # straight vertical rods: tip_i = base_i + [0, 0, L]; plate center on
+    # the axis, attachments = the same radial pattern in the plate frame
+    p_plate0 = np.array([0.0, 0.0, L])
+    offsets = bases - np.array([0.0, 0.0, 0.0])
+    quats = np.tile(np.array([1.0, 0.0, 0.0, 0.0]), (n_rods, 1))
+    inertia = (np.zeros((3, 3)) if plate_inertia is None
+               else np.asarray(plate_inertia, np.float64))
+    cast = lambda x: jnp.asarray(x, fdtype)
+    plate = PlateParams(mass=cast(plate_mass), inertia=cast(inertia),
+                        attach_offsets=cast(offsets),
+                        attach_quats=cast(quats),
+                        g=cast(np.asarray(rods[0].g)))
+    return RodAssembly(M=n_rods, rods=stacked, plate=plate,
+                       p_plate0=cast(p_plate0),
+                       h_plate0=cast(np.array([1.0, 0.0, 0.0, 0.0])))
+
+
+# --------------------------------------------------------------- solver
+
+def _sweep_all(rods: RodParams, G, yh, zh, tf, nn_fn, nn_history):
+    """All M rod sweeps at once: G (M, 6), yh (M, N, 19), zh (M, N, 6),
+    tf (M, 3) -> (y (M, N, 19), z_body (M, N-1, 6))."""
+    return jax.vmap(
+        lambda p_i, G_i, yh_i, zh_i, tf_i: integrate_euler(
+            p_i, G_i, yh_i, zh_i, tf_i, nn_fn, nn_history)
+    )(rods, G, yh, zh, tf)
+
+
+def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
+                       nn_fn, nn_history):
+    """Stacked residual (6M + 7,). pph/vph/hph/wbh are the BDF-2 history
+    combinations c1*x + c2*x_prev of the plate pose, velocity, quaternion
+    and body angular velocity."""
+    M = asm.M
+    plate = asm.plate
+    c0 = asm.rods.c0[0]
+    G = X[: 6 * M].reshape(M, 6)
+    pp = X[6 * M: 6 * M + 3]
+    hp = X[6 * M + 3:]
+
+    y_nodes, _ = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history)
+    tips = y_nodes[:, -1]                       # (M, 19)
+    n_tip = tips[:, 7:10]
+    m_tip = tips[:, 10:13]
+
+    Rp = quat_to_rotmat(hp)                     # plate world-from-body
+    att_w = jnp.einsum("ij,mj->mi", Rp, plate.attach_offsets)
+
+    # tip position: rod tip must sit at its plate attachment point
+    res_pos = (tips[:, 0:3] - (pp[None, :] + att_w)).reshape(-1)
+
+    # tip orientation: h_tip ~ hp * attach_quat (vector part of the
+    # relative quaternion; tips stay in the warm-started hemisphere)
+    h_tip = tips[:, 3:7]
+    h_tip = h_tip / jnp.linalg.norm(h_tip, axis=-1, keepdims=True)
+    h_target = _quat_mul(jnp.broadcast_to(hp, (M, 4)), plate.attach_quats)
+    res_ori = _quat_mul(_quat_conj(h_target), h_tip)[:, 1:4].reshape(-1)
+
+    # plate BDF-2 kinematics: velocity from pose, acceleration from velocity
+    vp = c0 * pp + pph
+    ap = c0 * vp + vph
+    hdot = c0 * hp + hph
+    wb = _body_angular_velocity(hp, hdot)
+    wbdot = c0 * wb + wbh
+
+    # Newton: m*(ap - g) = sum of rod reactions (-n_tip); massless -> static
+    res_f = plate.mass * (ap - plate.g) + jnp.sum(n_tip, axis=0)
+    # Euler (plate body frame): J wbdot + wb x J wb = Rp^T * sum of world
+    # torques about the plate COM from the rod reactions
+    torque_w = jnp.sum(jnp.cross(att_w, -n_tip) - m_tip, axis=0)
+    Jw = plate.inertia @ wb
+    res_m = plate.inertia @ wbdot + jnp.cross(wb, Jw) - Rp.T @ torque_w
+
+    res_norm = jnp.sum(hp * hp) - 1.0
+    return jnp.concatenate([res_pos, res_ori, res_f, res_m,
+                            res_norm[None]])
+
+
+def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
+                        wbh, nn_fn=None, nn_history: bool = False,
+                        tol: float = 1e-10, max_iter: int = 50):
+    """Solve one BDF-2 time step of the coupled assembly.
+
+    Args:
+      yh/zh: (M, N, 19)/(M, N, 6) BDF-2 histories; tf: (M, 3) tendon body
+        forces; X0: (6M + 7,) warm start; pph/vph/hph/wbh: plate histories.
+    Returns (y (M, N, 19), z_body (M, N-1, 6), X, stats).
+    """
+    res = partial(_assembly_residual, asm, yh=yh, zh=zh, tf=tf, pph=pph,
+                  vph=vph, hph=hph, wbh=wbh, nn_fn=nn_fn,
+                  nn_history=nn_history)
+    X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
+    M = asm.M
+    G = X[: 6 * M].reshape(M, 6)
+    y, z_body = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history)
+    return y, z_body, X, stats
+
+
+class AssemblySimOutput(NamedTuple):
+    traj: jnp.ndarray           # (T, M, N, 50) [y, z, yh, zh] per rod
+    plate_pose: jnp.ndarray     # (T, 7) [p_plate, h_plate]
+    Gs: jnp.ndarray             # (T, M, 6) converged base reactions
+    newton_iters: jnp.ndarray   # (T,)
+    residual_norm: jnp.ndarray  # (T,)
+
+
+def _initial_rod_states(asm: RodAssembly):
+    """Straight vertical rods from their bases (base_state-consistent,
+    unlike stepper.initial_state which pins the base at the origin)."""
+    rods = asm.rods
+    N = rods.N
+    dtype = asm.dtype
+    M = asm.M
+
+    def one(p0, L):
+        zpos = jnp.linspace(jnp.zeros((), dtype), L, N)
+        y = jnp.zeros((N, 19), dtype)
+        y = y.at[:, 0].set(p0[0]).at[:, 1].set(p0[1])
+        y = y.at[:, 2].set(p0[2] + zpos)
+        y = y.at[:, 3].set(1.0)
+        z = jnp.zeros((N, 6), dtype).at[:, 2].set(1.0)
+        return y, z
+
+    return jax.vmap(one)(rods.p0, rods.L)
+
+
+def simulate_assembly(
+    asm: RodAssembly,
+    controls: jnp.ndarray,
+    nn_fn: Optional[Callable] = None,
+    nn_history: bool = False,
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+) -> AssemblySimOutput:
+    """Closed-loop BDF-2 rollout of the coupled assembly.
+
+    controls: (T, M, n_tendons) per-rod tendon tensions. The trajectory
+    record keeps the single-rod contract per rod ([y, z, yh, zh] with the
+    tip z frozen), so evaluation/visualization utilities apply per rod.
+    """
+    if tol is None:
+        tol = 1e-16 if jnp.dtype(asm.dtype) == jnp.float64 else 1e-10
+    M = asm.M
+    dtype = asm.dtype
+    rods = asm.rods
+    c1 = rods.c1[0]
+    c2 = rods.c2[0]
+
+    y0, z0 = _initial_rod_states(asm)
+    z_tip = z0[:, -1]                       # (M, 6) frozen tip strain
+    G0 = jnp.zeros((M, 6), dtype)
+    pp0 = jnp.asarray(asm.p_plate0, dtype)
+    hp0 = jnp.asarray(asm.h_plate0, dtype)
+    vp0 = jnp.zeros(3, dtype)
+    wb0 = jnp.zeros(3, dtype)
+
+    def step(carry, tensions):
+        (y, z, y_prev, z_prev, G, G_prev,
+         pp, pp_prev, hp, hp_prev, vp, vp_prev, wb, wb_prev) = carry
+        yh = c1 * y + c2 * y_prev
+        zh = c1 * z + c2 * z_prev
+        pph = c1 * pp + c2 * pp_prev
+        hph = c1 * hp + c2 * hp_prev
+        vph = c1 * vp + c2 * vp_prev
+        wbh = c1 * wb + c2 * wb_prev
+        tf = jnp.einsum("mt,mtc->mc", jnp.asarray(tensions, dtype),
+                        jnp.asarray(rods.tendon_dirs, dtype),
+                        precision=lax.Precision.HIGHEST)
+        X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
+        y_new, z_body, X, stats = assembly_solve_step(
+            asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
+            tol, max_iter)
+        G_new = X[: 6 * M].reshape(M, 6)
+        pp_new = X[6 * M: 6 * M + 3]
+        hp_new = X[6 * M + 3:]
+        hp_new = hp_new / jnp.linalg.norm(hp_new)
+        z_new = jnp.concatenate([z_body, z_tip[:, None]], axis=1)
+        c0 = rods.c0[0]
+        vp_new = c0 * pp_new + pph
+        hdot = c0 * hp_new + hph
+        wb_new = _body_angular_velocity(hp_new, hdot)
+        record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
+        new_carry = (y_new, z_new, y, z, G_new, G,
+                     pp_new, pp, hp_new, hp, vp_new, vp, wb_new, wb)
+        return new_carry, (record, jnp.concatenate([pp_new, hp_new]),
+                           G_new, stats.iterations, stats.residual_norm)
+
+    T = controls.shape[0]
+    carry0 = (y0, z0, y0, z0, G0, G0,
+              pp0, pp0, hp0, hp0, vp0, vp0, wb0, wb0)
+    _, (records, plates, Gs, iters, res) = lax.scan(step, carry0,
+                                                    controls[: T - 1])
+
+    rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
+    traj = jnp.concatenate([rec0, records], axis=0)
+    plate0 = jnp.concatenate([pp0, hp0])[None]
+    plate_pose = jnp.concatenate([plate0, plates], axis=0)
+    Gs = jnp.concatenate([G0[None], Gs], axis=0)
+    iters = jnp.concatenate([jnp.zeros(1, iters.dtype), iters])
+    res = jnp.concatenate([jnp.zeros(1, res.dtype), res])
+    return AssemblySimOutput(traj, plate_pose, Gs, iters, res)

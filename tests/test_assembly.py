@@ -1,0 +1,113 @@
+"""Multi-rod assemblies (core/assembly.py).
+
+The coupled Newton solve must (a) reduce exactly to the single-rod
+free-tip problem for a massless plate with one centered rod, (b) preserve
+the symmetry of a symmetric assembly, and (c) actually couple the rods —
+a tension imbalance on one rod moves the shared plate.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu.controls import calc_controls
+from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                              simulate_assembly)
+from knode_cosserat_tpu.core.params import make_rod
+from knode_cosserat_tpu.core.stepper import simulate_scan
+from knode_cosserat_tpu.models.mlp import MLPSpec, bind, init_mlp
+
+T = 10
+
+
+def test_single_rod_massless_plate_matches_free_tip():
+    """M=1, massless plate, zero attachment offset == the free-tip BC."""
+    asm = make_ring_assembly(n_rods=1, base_radius=0.0, N=10,
+                             dtype=jnp.float64)
+    ctl = jnp.asarray(calc_controls("sine", 0.5, float(asm.rods.del_t[0]),
+                                    T), jnp.float64)
+    ref = simulate_scan(make_rod(N=10, dtype=jnp.float64), ctl, tol=1e-24)
+    out = jax.jit(lambda c: simulate_assembly(asm, c, tol=1e-24))(
+        ctl[:, None, :])
+    err = np.max(np.abs(np.asarray(out.traj[:, 0]) - np.asarray(ref.traj)))
+    assert err < 1e-9, err
+    # the solved plate pose IS the rod tip pose
+    tip = np.asarray(out.traj[-1, 0, -1, :7])
+    plate = np.asarray(out.plate_pose[-1])
+    assert np.allclose(plate[:3], tip[:3], atol=1e-9)
+    q = plate[3:] / np.linalg.norm(plate[3:])
+    qt = tip[3:] / np.linalg.norm(tip[3:])
+    assert min(np.abs(q - qt).max(), np.abs(q + qt).max()) < 1e-9
+
+
+def test_symmetric_ring_stays_symmetric():
+    """3 rods at 120 degrees, equal tensions: the plate stays on the axis
+    with identity orientation (the 4 tendon directions sum to zero, so the
+    only load is gravity, which is axial)."""
+    asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
+                             dtype=jnp.float64)
+    ctl = 5.0 * jnp.ones((T, 3, 4), jnp.float64)
+    out = jax.jit(lambda c: simulate_assembly(asm, c, tol=1e-20))(ctl)
+    assert np.asarray(out.residual_norm).max() < 1e-8
+    plate = np.asarray(out.plate_pose)
+    assert np.abs(plate[:, 0:2]).max() < 1e-7          # on-axis
+    assert np.abs(plate[:, 4:7]).max() < 1e-7          # no rotation
+    # rods 120-degrees apart see identical tip sag
+    tips_z = np.asarray(out.traj[-1, :, -1, 2])
+    assert np.ptp(tips_z) < 1e-7
+
+
+def test_tension_imbalance_couples_through_plate():
+    """Pulling one rod's tendon bends the WHOLE assembly: the other rods'
+    tips move too (they are dragged by the shared plate)."""
+    asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
+                             dtype=jnp.float64)
+    ctl = 5.0 * np.ones((T, 3, 4))
+    ctl[:, 0, 0] = 9.0                     # extra tension, rod 0, tendon 0
+    out = jax.jit(lambda c: simulate_assembly(asm, c, tol=1e-20))(
+        jnp.asarray(ctl))
+    assert np.asarray(out.residual_norm).max() < 1e-8
+    plate = np.asarray(out.plate_pose)
+    assert np.abs(plate[-1, 0:2]).max() > 1e-5         # plate moved
+    # an UNCOUPLED rod 1 under its own (symmetric) tensions would not move
+    # laterally; through the plate it must
+    tip1_xy = np.asarray(out.traj[-1, 1, -1, 0:2])
+    base1_xy = np.asarray(out.traj[0, 1, -1, 0:2])
+    assert np.abs(tip1_xy - base1_xy).max() > 1e-5
+
+
+def test_plate_mass_dynamics_stay_finite_and_converged():
+    asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
+                             plate_mass=0.05,
+                             plate_inertia=1e-5 * np.eye(3),
+                             dtype=jnp.float64)
+    ctl = np.full((T, 3, 4), 5.0)
+    ctl[:, :, 0] = 6.0
+    out = jax.jit(lambda c: simulate_assembly(asm, c, tol=1e-18))(
+        jnp.asarray(ctl))
+    assert np.isfinite(np.asarray(out.traj)).all()
+    assert np.asarray(out.residual_norm).max() < 1e-7
+    # the massive plate's inertia resists: velocities exist after a kick
+    assert np.abs(np.asarray(out.plate_pose)[1:, 2]
+                  - float(asm.p_plate0[2])).max() > 1e-6
+
+
+def test_hybrid_assembly_runs():
+    """A shared KNODE residual rides inside every rod sweep of the coupled
+    solve (hybrid parallel continuum robot)."""
+    asm = make_ring_assembly(n_rods=2, base_radius=0.04, N=10,
+                             dtype=jnp.float64)
+    spec = MLPSpec.for_knode(16, False, "elu")
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float64)
+    params = jax.tree.map(lambda x: 0.01 * x, params)
+    ctl = 5.0 * jnp.ones((T, 2, 4), jnp.float64)
+    out = jax.jit(lambda c: simulate_assembly(
+        asm, c, nn_fn=bind(spec, params), tol=1e-18))(ctl)
+    assert np.isfinite(np.asarray(out.traj)).all()
+    assert np.asarray(out.residual_norm).max() < 1e-7
+
+
+def test_mismatched_rods_raise():
+    from knode_cosserat_tpu.core.assembly import stack_rods
+    with pytest.raises(ValueError):
+        stack_rods([make_rod(N=10), make_rod(N=12)])
