@@ -42,16 +42,28 @@ class MLPSpec:
       (cosserat_ode_torch.py:60-62 with n_layers=512, physics_train.py:47).
     activation: name from ACTIVATIONS applied between Linear layers.
     history: 53-input variant using [y, yh, z, zh, tf] (cosserat_ode.py:173).
+    compute_dtype: optional matmul storage dtype ("bfloat16") for mixed
+      precision — inputs and weights are cast down for the MXU passes while
+      accumulation, bias add, activation, and the returned output stay in
+      the caller's dtype (master weights are untouched). NOTE: on TPU this
+      is a MEMORY knob, not a throughput knob — XLA's DEFAULT precision
+      already runs f32 matmuls as single-pass bf16 MXU ops, so explicit
+      bf16 storage measured 15-20% SLOWER at 15k cells x hidden 4096/8192
+      (the casts are extra VPU work); it halves activation residuals for
+      nets too wide to fit otherwise (docs/ROADMAP.md round-3 measurement).
     """
     dims: Tuple[int, ...] = (28, 512, 25)
     activation: str = "elu"
     history: bool = False
+    compute_dtype: str | None = None
 
     @staticmethod
     def for_knode(hidden: int = 512, history: bool = False,
-                  activation: str = "elu") -> "MLPSpec":
+                  activation: str = "elu",
+                  compute_dtype: str | None = None) -> "MLPSpec":
         return MLPSpec(dims=(53 if history else 28, hidden, 25),
-                       activation=activation, history=history)
+                       activation=activation, history=history,
+                       compute_dtype=compute_dtype)
 
 
 def init_mlp(spec: MLPSpec, key: jax.Array, dtype=jnp.float32):
@@ -68,11 +80,21 @@ def init_mlp(spec: MLPSpec, key: jax.Array, dtype=jnp.float32):
 
 def mlp_apply(spec: MLPSpec, params, x: jnp.ndarray) -> jnp.ndarray:
     """Forward pass on (..., din) -> (..., dout). Matmuls hit the MXU; keep
-    the batch axis large (timesteps x keypoints x trajectories)."""
+    the batch axis large (timesteps x keypoints x trajectories).
+
+    When ``spec.compute_dtype`` is set ("bfloat16"), each matmul's inputs
+    are cast down while the MXU accumulates in the caller's dtype — classic
+    mixed precision with f32 master weights; gradients flow through the
+    casts and land back on the full-precision params."""
     act = ACTIVATIONS[spec.activation]
+    cd = jnp.dtype(spec.compute_dtype) if spec.compute_dtype else None
+    acc_dtype = x.dtype
     n = len(params)
     for i, layer in enumerate(params):
-        x = jnp.dot(x, layer["w"].T, preferred_element_type=x.dtype) + layer["b"]
+        w, b = layer["w"], layer["b"]
+        if cd is not None:
+            x, w = x.astype(cd), w.astype(cd)
+        x = jnp.dot(x, w.T, preferred_element_type=acc_dtype) + b
         if i < n - 1:
             x = act(x)
     return x

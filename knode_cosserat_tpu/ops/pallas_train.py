@@ -132,6 +132,7 @@ def fused_trainer_supported(spec: MLPSpec, n_cells: int,
     call sites state what they checked."""
     del weight_decay
     return (len(spec.dims) == 3 and spec.activation == "elu"
+            and getattr(spec, "compute_dtype", None) is None
             and n_cells <= MAX_CELLS)
 
 
@@ -282,10 +283,11 @@ def _make_run_one(spec: MLPSpec, cfg, n_epochs: int, interpret: bool):
     scalar-state row; everything shape-derived stays static."""
     from ..core.rhs import nn_input_features, rhs
     from ..ops.quaternion import quaternion_to_euler
-    if len(spec.dims) != 3 or spec.activation != "elu":
+    if (len(spec.dims) != 3 or spec.activation != "elu"
+            or getattr(spec, "compute_dtype", None) is not None):
         raise NotImplementedError(
-            "fused trainer supports 2-layer ELU MLPs (the reference "
-            "architecture); use the XLA epoch scan otherwise")
+            "fused trainer supports 2-layer ELU MLPs in full f32 (the "
+            "reference architecture); use the XLA epoch scan otherwise")
     din, hidden, dout = spec.dims
     assert dout == 25
     kp = tuple(cfg.keypoints)

@@ -54,6 +54,14 @@ class TrainConfig:
     log_every: int = 10
     checkpoint_every: int = 500             # physics_train.py:386
     dtype: str = "float32"
+    # mixed precision for the residual net: "bfloat16" casts the MLP matmul
+    # inputs down for the MXU passes (accumulation, loss, physics, and the
+    # f32 master weights are untouched). A MEMORY knob on TPU — DEFAULT
+    # precision already rides bf16 MXU passes for f32, so this measured
+    # slightly slower, not faster (models/mlp.py docstring); use it to halve
+    # activation residuals on very wide nets. The fused whole-run kernel
+    # declines mixed specs; the XLA epoch scan carries them.
+    nn_dtype: Optional[str] = None
     # fused whole-training-run Pallas kernel (ops/pallas_train.py):
     #   "auto"      use it when supported AND the backend is TPU
     #   "on"        force (compiles the kernel on whatever backend)
@@ -76,7 +84,8 @@ class TrainConfig:
     checkpoint_async: bool = False
 
     def spec(self) -> MLPSpec:
-        return MLPSpec.for_knode(self.hidden, self.history, self.activation)
+        return MLPSpec.for_knode(self.hidden, self.history, self.activation,
+                                 getattr(self, "nn_dtype", None))
 
 
 @dataclasses.dataclass
