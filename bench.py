@@ -169,15 +169,16 @@ def measure_extras(ref, golden_trajs, golden_ctls):
         extras[f"rollout_fused_compile_s_n{N}"] = round(compile_s, 1)
 
     # --- parallel-in-space multiple shooting: fine-rod latency path ---
-    # (core/multiple_shooting.py). Single-rollout steps/s at N=161, S=16
-    # vs the sequential sweep's ~33 — the SURVEY §5 "parallel-in-space
-    # Newton" capability, regression-guarded.
+    # (core/multiple_shooting.py). Single-rollout steps/s at N=161, S=80
+    # with the structured (block-bidiagonal) Newton vs the sequential
+    # sweep's ~33 — the SURVEY §5 "parallel-in-space Newton" capability,
+    # regression-guarded.
     if not on_cpu:
         from knode_cosserat_tpu.core.multiple_shooting import \
             simulate_scan_ms
         p161 = experimental_rod(N=161, dtype=jnp.float32)
         ctl1 = ctls[0]
-        ms = jax.jit(lambda c: simulate_scan_ms(p161, c, 16,
+        ms = jax.jit(lambda c: simulate_scan_ms(p161, c, 80,
                                                 tol=1e-10).traj)
         dt, _ = _timeit(ms, ctl1)
         extras["rollout_ms_steps_per_sec_n161"] = round((T - 1) / dt)

@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from ..ops.linalg import solve_small
 from .params import RodParams
 from .rhs import rhs
 from .shooting import NewtonStats
@@ -125,14 +126,140 @@ def _newton_dense(residual_fn, X0, tol, max_iter, max_backtracks=6,
     return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
 
 
+def _structured_direction(p: RodParams, X, lam, yh_segs, zh_segs, tf, S,
+                          nn_fn, nn_history):
+    """Newton direction exploiting the block-BIDIAGONAL Jacobian.
+
+    Row structure of _ms_residual's Jacobian:
+      cont_i = e_i(s_i) - Yb_i   ->  [A_i on s_i,  -I on Yb_i]
+      tip    = t - C e_S(s_S)    ->  [-C A_S on s_S]
+    with s_1 = base_state(G) (constant selector B wrt G) and s_i = Yb_{i-1}.
+    Forward elimination turns the solve into an affine-map prefix scan of
+    19x19 blocks plus ONE 6x6 reduced solve: dYb_i = M_i dG + v_i with
+    (M_i, v_i) = (A_i M_{i-1}, A_i v_{i-1} + r_i). Only the per-segment
+    19-tangent jacobians A_i are assembled (vmapped jacfwd) — vs the dense
+    path's (6 + 19(S-1)) tangents through every sweep. LM damping scales
+    the -I diagonal blocks by (1+lam) and damps the reduced 6x6 system —
+    same stall-escape role as the dense LM (step shrinks toward zero as
+    lam grows), composed with the identical line search.
+    """
+    dtype = X.dtype
+    G = X[:6]
+    Yb = X[6:].reshape(S - 1, 19)
+    starts = jnp.concatenate([base_state(p, G)[None], Yb], axis=0)
+
+    def end_one(s, yh_seg, zh_seg):
+        def step(yj, inp):
+            yhj, zhj = inp
+            dy, _ = rhs(p, yj, yhj, zhj, tf, nn_fn, nn_history)
+            return yj + p.ds * dy, None
+
+        y_end, _ = lax.scan(step, s, (yh_seg, zh_seg))
+        return y_end, y_end
+
+    A, e = jax.vmap(
+        lambda s, yh_seg, zh_seg: jax.jacfwd(
+            lambda ss: end_one(ss, yh_seg, zh_seg), has_aux=True)(s)
+    )(starts, yh_segs, zh_segs)                 # (S, 19, 19), (S, 19)
+
+    r_cont = e[:-1] - Yb                        # (S-1, 19)
+    r_tip = jnp.concatenate([p.F_tip - e[-1, 7:10], p.M_tip - e[-1, 10:13]])
+
+    B = jnp.zeros((19, 6), dtype).at[7:13, :].set(jnp.eye(6, dtype=dtype))
+    scale = 1.0 / (1.0 + lam)
+
+    if S - 1 >= 32:
+        # log-depth prefix of the affine maps x -> scale*(A_i x + r_i):
+        # measured faster than the sequential chain from ~32 segments up
+        # (N=321, S=160: 1018 vs 895 steps/s on v5e)
+        Ap = scale * A[:-1]
+        bp = scale * r_cont
+
+        def comb(x, y):
+            Ax, bx = x
+            Ay, by = y
+            return (jnp.einsum("sij,sjk->sik", Ay, Ax),
+                    jnp.einsum("sij,sj->si", Ay, bx) + by)
+
+        P, vs = lax.associative_scan(comb, (Ap, bp))
+        Ms = jnp.einsum("sij,jk->sik", P, B)
+        M_last, v_last = Ms[-1], vs[-1]
+    else:
+        def chain(carry, inp):
+            M, v = carry
+            Ai, ri = inp
+            out = (scale * (Ai @ M), scale * (Ai @ v + ri))
+            return out, out
+
+        init = (B, jnp.zeros(19, dtype))
+        (M_last, v_last), (Ms, vs) = lax.scan(chain, init,
+                                              (A[:-1], r_cont))
+
+    CA = A[-1, 7:13, :]                         # (6, 19)
+    K = CA @ M_last                             # (6, 6)
+    rhs6 = r_tip - CA @ v_last
+    D = jnp.maximum(jnp.abs(jnp.diagonal(K)), 1.0)
+    dG = solve_small(K + lam * D * jnp.eye(6, dtype=dtype), rhs6)
+    dYb = jnp.einsum("sij,j->si", Ms, dG) + vs  # (S-1, 19)
+    return jnp.concatenate([dG, dYb.reshape(-1)])
+
+
+def _newton_structured(p, residual_fn, X0, yh_segs, zh_segs, tf, S, nn_fn,
+                       nn_history, tol, max_iter, max_backtracks=6,
+                       lm_lambda0=1e-4, lm_growth=30.0, max_escalations=4):
+    """The _newton_dense loop (line search + LM escalation, identical stats
+    semantics) with the direction from _structured_direction."""
+    dtype = X0.dtype
+    alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
+    lam0 = jnp.asarray(lm_lambda0, dtype)
+
+    def cond(state):
+        X, r, r2, it, lam, fails, retries = state
+        return (r2 > tol) & (it < max_iter) & (fails <= max_escalations)
+
+    def body(state):
+        X, r, r2, it, lam, fails, retries = state
+        dX = _structured_direction(p, X, lam, yh_segs, zh_segs, tf, S,
+                                   nn_fn, nn_history)
+        dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
+
+        X_cand = X[None, :] + alphas[:, None] * dX[None, :]
+        r_cand = jax.vmap(residual_fn)(X_cand)
+        r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
+        improves = r2_cand < r2
+        idx = jnp.argmax(improves)
+        found = jnp.any(improves)
+        pick = jnp.where(found, idx, 0)
+        X_new = jnp.where(found, X_cand[pick], X)
+        r_new = jnp.where(found, r_cand[pick], r)
+        r2_new = jnp.where(found, r2_cand[pick], r2)
+        lam_new = jnp.where(found, 0.0, jnp.maximum(lam * lm_growth, lam0))
+        fails = jnp.where(found, 0, fails + 1)
+        retries = retries + jnp.where(found, 0, 1).astype(jnp.int32)
+        return (X_new, r_new, r2_new, it + 1, lam_new.astype(dtype),
+                fails, retries)
+
+    r0 = residual_fn(X0)
+    state0 = (X0, r0, jnp.sum(r0 * r0), jnp.array(0, jnp.int32),
+              jnp.zeros((), dtype), jnp.array(0, jnp.int32),
+              jnp.array(0, jnp.int32))
+    X, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
+    return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
+
+
 def ms_solve_step(p: RodParams, yh, zh, tf, X0, n_segments: int,
                   nn_fn=None, nn_history: bool = False,
-                  tol: float = 1e-10, max_iter: int = 50):
+                  tol: float = 1e-10, max_iter: int = 50,
+                  solver: str = "structured"):
     """Solve one BDF-2 step by multiple shooting.
 
     Args:
       yh/zh: (N, 19)/(N, 6) BDF-2 history; tf: (3,) tendon force.
       X0: (6 + 19*(S-1),) warm start — [G_guess, boundary states].
+      solver: "structured" exploits the block-bidiagonal Jacobian (one
+        vmapped 19-tangent jacfwd per segment + a 6x6 reduced solve);
+        "dense" materializes the full (6+19(S-1))^2 Jacobian. Identical
+        converged roots; structured is the fast path for fine rods.
     Returns (y (N, 19), z_body (N-1, 6), X_solved, stats)."""
     S = int(n_segments)
     m = (p.N - 1) // S
@@ -142,7 +269,14 @@ def ms_solve_step(p: RodParams, yh, zh, tf, X0, n_segments: int,
     zh_segs = zh[:-1].reshape(S, m, 6)
     res = partial(_ms_residual, p, yh_segs=yh_segs, zh_segs=zh_segs, tf=tf,
                   S=S, nn_fn=nn_fn, nn_history=nn_history)
-    X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
+    if solver == "structured":
+        X, stats = _newton_structured(p, res, X0, yh_segs, zh_segs, tf, S,
+                                      nn_fn, nn_history, tol=tol,
+                                      max_iter=max_iter)
+    elif solver == "dense":
+        X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
+    else:
+        raise ValueError(f"unknown solver {solver!r}")
 
     # reconstruct the full rod state from the solved unknowns
     G = X[:6]
@@ -163,6 +297,7 @@ def simulate_scan_ms(
     nn_history: bool = False,
     tol: Optional[float] = None,
     max_iter: int = 50,
+    solver: str = "structured",
 ) -> SimOutput:
     """Rollout with the parallel-in-space solver — the drop-in analogue of
     core/stepper.simulate_scan (same trajectory contract and quirks: [:-1]
@@ -195,7 +330,8 @@ def simulate_scan_ms(
                         precision=jax.lax.Precision.HIGHEST)
         X0 = jnp.concatenate([2.0 * G - G_prev, y[bidx].reshape(-1)])
         y_new, z_body, X, stats = ms_solve_step(
-            p, yh, zh, tf, X0, S, nn_fn, nn_history, tol, max_iter)
+            p, yh, zh, tf, X0, S, nn_fn, nn_history, tol, max_iter,
+            solver=solver)
         G_new = X[:6]
         z_new = jnp.concatenate([z_body, z_tip[None]], axis=0)
         record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)

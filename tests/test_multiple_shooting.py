@@ -31,12 +31,14 @@ def ctl(rod17):
                        jnp.float64)
 
 
-def test_physics_rollout_matches_sequential(rod17, ctl):
+@pytest.mark.parametrize("solver", ["structured", "dense"])
+def test_physics_rollout_matches_sequential(rod17, ctl, solver):
     ref = simulate_scan(rod17, ctl, tol=1e-24)
     for S in (2, 4, 8):
-        out = jax.jit(lambda c: simulate_scan_ms(rod17, c, S, tol=1e-24))(ctl)
+        out = jax.jit(lambda c: simulate_scan_ms(rod17, c, S, tol=1e-24,
+                                                 solver=solver))(ctl)
         err = np.max(np.abs(np.asarray(out.traj) - np.asarray(ref.traj)))
-        assert err < 1e-9, (S, err)
+        assert err < 1e-9, (S, err, solver)
         assert np.asarray(out.residuals).max() < 1e-10
 
 
@@ -52,10 +54,25 @@ def test_hybrid_rollout_matches_sequential(rod17, ctl):
     params = jax.tree.map(lambda x: 0.01 * x, params)
     nn_fn = bind(spec, params)
     ref = simulate_scan(rod17, ctl, nn_fn=nn_fn, tol=1e-24)
-    out = jax.jit(
-        lambda c: simulate_scan_ms(rod17, c, 4, nn_fn=nn_fn, tol=1e-24))(ctl)
-    err = np.max(np.abs(np.asarray(out.traj) - np.asarray(ref.traj)))
-    assert err < 1e-9, err
+    for solver in ("structured", "dense"):
+        out = jax.jit(lambda c: simulate_scan_ms(
+            rod17, c, 4, nn_fn=nn_fn, tol=1e-24, solver=solver))(ctl)
+        err = np.max(np.abs(np.asarray(out.traj) - np.asarray(ref.traj)))
+        assert err < 1e-9, (solver, err)
+
+
+def test_structured_assoc_scan_branch_matches_sequential():
+    """S >= 33 takes the log-depth associative_scan prefix — pin its parity
+    against the sequential sweep on a fine rod (m=1 segments included)."""
+    rod = make_rod(N=65, dtype=jnp.float64)
+    ctl = jnp.asarray(calc_controls("sine", 0.5, float(rod.del_t), 8),
+                      jnp.float64)
+    ref = simulate_scan(rod, ctl, tol=1e-24)
+    for S in (32, 64):
+        out = jax.jit(lambda c, S=S: simulate_scan_ms(
+            rod, c, S, tol=1e-24, solver="structured"))(ctl)
+        err = np.max(np.abs(np.asarray(out.traj) - np.asarray(ref.traj)))
+        assert err < 1e-9, (S, err)
 
 
 def test_single_step_warmstart_converges_fast(rod17, ctl):
