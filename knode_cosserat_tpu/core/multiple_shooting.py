@@ -24,7 +24,14 @@ tests/test_multiple_shooting.py.
 
 The segment axis is embarrassingly parallel (the vmapped sweep has no
 cross-segment dependency until the cheap residual stack), so on a device
-mesh it shards over the "seq" axis like any batch dimension.
+mesh it shards over the "seq" axis like any batch dimension: pass
+``mesh=`` and the per-segment arrays (histories, starts — and through
+them the sweeps and per-segment Jacobians, the FLOPs of every Newton
+iteration) are pinned to the mesh axis with sharding constraints; the
+SPMD partitioner inserts the all-gathers for the tiny cross-segment
+algebra (19x19 prefix + 6x6 solve). No hand-rolled halo exchange is
+needed because the coupling variables (X) are small and replicated —
+the TPU-correct layout for this problem shape.
 """
 from __future__ import annotations
 
@@ -43,6 +50,23 @@ from .spatial import base_state
 from .stepper import SimOutput, initial_state
 
 __all__ = ["ms_solve_step", "simulate_scan_ms"]
+
+
+def _seg_sharder(mesh, axis: str):
+    """-> callable pinning an array's leading (segment) axis onto ``axis``
+    of ``mesh`` via with_sharding_constraint — the XLA-native way to spread
+    the per-segment sweeps/Jacobians over devices (the partitioner inserts
+    the all-gathers for the tiny cross-segment algebra). No-op without a
+    mesh."""
+    if mesh is None:
+        return lambda a: a
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def shard(a):
+        spec = P(axis, *([None] * (a.ndim - 1)))
+        return jax.lax.with_sharding_constraint(a, NamedSharding(mesh, spec))
+
+    return shard
 
 
 def _segment_sweeps(p: RodParams, starts, yh_segs, zh_segs, tf, nn_fn,
@@ -127,7 +151,7 @@ def _newton_dense(residual_fn, X0, tol, max_iter, max_backtracks=6,
 
 
 def _structured_direction(p: RodParams, X, lam, yh_segs, zh_segs, tf, S,
-                          nn_fn, nn_history):
+                          nn_fn, nn_history, shard=lambda a: a):
     """Newton direction exploiting the block-BIDIAGONAL Jacobian.
 
     Row structure of _ms_residual's Jacobian:
@@ -146,7 +170,7 @@ def _structured_direction(p: RodParams, X, lam, yh_segs, zh_segs, tf, S,
     dtype = X.dtype
     G = X[:6]
     Yb = X[6:].reshape(S - 1, 19)
-    starts = jnp.concatenate([base_state(p, G)[None], Yb], axis=0)
+    starts = shard(jnp.concatenate([base_state(p, G)[None], Yb], axis=0))
 
     def end_one(s, yh_seg, zh_seg):
         def step(yj, inp):
@@ -206,7 +230,8 @@ def _structured_direction(p: RodParams, X, lam, yh_segs, zh_segs, tf, S,
 
 def _newton_structured(p, residual_fn, X0, yh_segs, zh_segs, tf, S, nn_fn,
                        nn_history, tol, max_iter, max_backtracks=6,
-                       lm_lambda0=1e-4, lm_growth=30.0, max_escalations=4):
+                       lm_lambda0=1e-4, lm_growth=30.0, max_escalations=4,
+                       shard=lambda a: a):
     """The _newton_dense loop (line search + LM escalation, identical stats
     semantics) with the direction from _structured_direction."""
     dtype = X0.dtype
@@ -220,7 +245,7 @@ def _newton_structured(p, residual_fn, X0, yh_segs, zh_segs, tf, S, nn_fn,
     def body(state):
         X, r, r2, it, lam, fails, retries = state
         dX = _structured_direction(p, X, lam, yh_segs, zh_segs, tf, S,
-                                   nn_fn, nn_history)
+                                   nn_fn, nn_history, shard)
         dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
 
         X_cand = X[None, :] + alphas[:, None] * dX[None, :]
@@ -250,7 +275,8 @@ def _newton_structured(p, residual_fn, X0, yh_segs, zh_segs, tf, S, nn_fn,
 def ms_solve_step(p: RodParams, yh, zh, tf, X0, n_segments: int,
                   nn_fn=None, nn_history: bool = False,
                   tol: float = 1e-10, max_iter: int = 50,
-                  solver: str = "structured"):
+                  solver: str = "structured", mesh=None,
+                  seq_axis: str = "seq"):
     """Solve one BDF-2 step by multiple shooting.
 
     Args:
@@ -265,14 +291,15 @@ def ms_solve_step(p: RodParams, yh, zh, tf, X0, n_segments: int,
     m = (p.N - 1) // S
     if m * S != p.N - 1:
         raise ValueError(f"n_segments={S} must divide N-1={p.N - 1}")
-    yh_segs = yh[:-1].reshape(S, m, 19)
-    zh_segs = zh[:-1].reshape(S, m, 6)
+    shard = _seg_sharder(mesh, seq_axis)
+    yh_segs = shard(yh[:-1].reshape(S, m, 19))
+    zh_segs = shard(zh[:-1].reshape(S, m, 6))
     res = partial(_ms_residual, p, yh_segs=yh_segs, zh_segs=zh_segs, tf=tf,
                   S=S, nn_fn=nn_fn, nn_history=nn_history)
     if solver == "structured":
         X, stats = _newton_structured(p, res, X0, yh_segs, zh_segs, tf, S,
                                       nn_fn, nn_history, tol=tol,
-                                      max_iter=max_iter)
+                                      max_iter=max_iter, shard=shard)
     elif solver == "dense":
         X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
     else:
@@ -298,6 +325,8 @@ def simulate_scan_ms(
     tol: Optional[float] = None,
     max_iter: int = 50,
     solver: str = "structured",
+    mesh=None,
+    seq_axis: str = "seq",
 ) -> SimOutput:
     """Rollout with the parallel-in-space solver — the drop-in analogue of
     core/stepper.simulate_scan (same trajectory contract and quirks: [:-1]
@@ -331,7 +360,7 @@ def simulate_scan_ms(
         X0 = jnp.concatenate([2.0 * G - G_prev, y[bidx].reshape(-1)])
         y_new, z_body, X, stats = ms_solve_step(
             p, yh, zh, tf, X0, S, nn_fn, nn_history, tol, max_iter,
-            solver=solver)
+            solver=solver, mesh=mesh, seq_axis=seq_axis)
         G_new = X[:6]
         z_new = jnp.concatenate([z_body, z_tip[None]], axis=0)
         record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
