@@ -163,6 +163,34 @@ def cmd_simulate(args):
         print(f"saved {out}")
 
 
+def cmd_simulate_assembly(args):
+    """Coupled multi-rod (parallel continuum robot) rollout — a capability
+    with no reference counterpart (core/assembly.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .controls import calc_controls
+    from .core.assembly import make_ring_assembly, simulate_assembly
+
+    asm = make_ring_assembly(n_rods=args.rods, base_radius=args.base_radius,
+                             plate_mass=args.plate_mass, N=args.nodes)
+    ctl1 = calc_controls(args.type, args.arg,
+                         float(np.asarray(asm.rods.del_t)[0]), args.steps)
+    controls = np.tile(np.asarray(ctl1)[:, None, :], (1, args.rods, 1))
+    if args.pull_rod >= 0:
+        controls[:, args.pull_rod, 0] += args.pull_extra
+    out = jax.jit(lambda c: simulate_assembly(asm, c))(
+        jnp.asarray(controls, asm.dtype))
+    traj = np.asarray(out.traj)
+    plate = np.asarray(out.plate_pose)
+    os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+    np.savez_compressed(args.save, traj=traj, plate_pose=plate,
+                        controls=controls)
+    print(f"saved {args.save}: traj {traj.shape}, plate_pose {plate.shape}")
+    print(f"plate tip: start {plate[0, :3]}, end {plate[-1, :3]}; "
+          f"max Newton iters {int(np.asarray(out.newton_iters).max())}")
+
+
 def cmd_multitrain(args):
     from .core.params import apply_mod
     from .evaluation.tables import evaluate_cells, format_table
@@ -397,6 +425,21 @@ def main(argv=None):
     sp.add_argument("--save", type=str, default="data/quick_test.npz")
     sp.add_argument("--gif", type=str, default=None)
     sp.set_defaults(fn=cmd_simulate)
+
+    sp = sub.add_parser("simulate-assembly",
+                        help="coupled multi-rod (parallel continuum) rollout")
+    sp.add_argument("--rods", type=int, default=3)
+    sp.add_argument("--base_radius", type=float, default=0.05)
+    sp.add_argument("--plate_mass", type=float, default=0.0)
+    sp.add_argument("--nodes", type=int, default=10)
+    sp.add_argument("--type", type=str, default="sine")
+    sp.add_argument("--arg", type=float, default=1.0)
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--pull_rod", type=int, default=-1,
+                    help="index of a rod to overpull (tendon 0)")
+    sp.add_argument("--pull_extra", type=float, default=3.0)
+    sp.add_argument("--save", type=str, default="data/assembly.npz")
+    sp.set_defaults(fn=cmd_simulate_assembly)
 
     sp = sub.add_parser("multitrain", help="experiment grid + eval table")
     sp.add_argument("--epochs", type=int, default=1000)
