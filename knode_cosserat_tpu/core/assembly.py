@@ -243,20 +243,47 @@ def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
                             res_norm[None]])
 
 
+def _implicit_root_dense(residual_fn, X0, tol, max_iter):
+    """lax.custom_root around _newton_dense: gradients of the SOLVED
+    coupled step flow via the implicit function theorem (the assembly
+    analogue of core/shooting.implicit_root, with an LU tangent solve for
+    the (6M+7)-dim system)."""
+    def solve(f, x0):
+        X, _ = _newton_dense(f, x0, tol=tol, max_iter=max_iter)
+        return X
+
+    def tangent_solve(g, y):
+        J = jax.jacobian(g)(jnp.zeros_like(y))
+        return jnp.linalg.solve(J, y)
+
+    return lax.custom_root(residual_fn, X0, solve, tangent_solve)
+
+
 def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
                         wbh, nn_fn=None, nn_history: bool = False,
-                        tol: float = 1e-10, max_iter: int = 50):
+                        tol: float = 1e-10, max_iter: int = 50,
+                        differentiable: bool = False):
     """Solve one BDF-2 time step of the coupled assembly.
 
     Args:
       yh/zh: (M, N, 19)/(M, N, 6) BDF-2 histories; tf: (M, 3) tendon body
         forces; X0: (6M + 7,) warm start; pph/vph/hph/wbh: plate histories.
+      differentiable: route the solve through lax.custom_root so gradients
+        w.r.t. tensions / rod params / NN weights flow via the implicit
+        function theorem — enables MPC on parallel continuum robots.
     Returns (y (M, N, 19), z_body (M, N-1, 6), X, stats).
     """
     res = partial(_assembly_residual, asm, yh=yh, zh=zh, tf=tf, pph=pph,
                   vph=vph, hph=hph, wbh=wbh, nn_fn=nn_fn,
                   nn_history=nn_history)
-    X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
+    if differentiable:
+        X = _implicit_root_dense(res, X0, tol=tol, max_iter=max_iter)
+        r = res(jax.lax.stop_gradient(X))
+        stats = NewtonStats(jnp.array(0, jnp.int32),
+                            jnp.sqrt(jnp.sum(r * r)), jnp.array(True),
+                            jnp.array(0, jnp.int32))
+    else:
+        X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
     M = asm.M
     G = X[: 6 * M].reshape(M, 6)
     y, z_body = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history)
@@ -298,12 +325,19 @@ def simulate_assembly(
     nn_history: bool = False,
     tol: Optional[float] = None,
     max_iter: int = 50,
+    differentiable: bool = False,
+    remat: bool = False,
 ) -> AssemblySimOutput:
     """Closed-loop BDF-2 rollout of the coupled assembly.
 
     controls: (T, M, n_tendons) per-rod tendon tensions. The trajectory
     record keeps the single-rod contract per rod ([y, z, yh, zh] with the
     tip z frozen), so evaluation/visualization utilities apply per rod.
+
+    differentiable=True makes the WHOLE rollout differentiable w.r.t.
+    controls / rod params / plate params / NN weights (implicit function
+    theorem at every coupled solve) — gradient-based tension planning for
+    parallel continuum robots. remat=True checkpoints each time step.
     """
     if tol is None:
         tol = 1e-16 if jnp.dtype(asm.dtype) == jnp.float64 else 1e-10
@@ -336,7 +370,7 @@ def simulate_assembly(
         X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
         y_new, z_body, X, stats = assembly_solve_step(
             asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
-            tol, max_iter)
+            tol, max_iter, differentiable=differentiable)
         G_new = X[: 6 * M].reshape(M, 6)
         pp_new = X[6 * M: 6 * M + 3]
         hp_new = X[6 * M + 3:]
@@ -355,7 +389,8 @@ def simulate_assembly(
     T = controls.shape[0]
     carry0 = (y0, z0, y0, z0, G0, G0,
               pp0, pp0, hp0, hp0, vp0, vp0, wb0, wb0)
-    _, (records, plates, Gs, iters, res) = lax.scan(step, carry0,
+    body = jax.checkpoint(step) if remat else step
+    _, (records, plates, Gs, iters, res) = lax.scan(body, carry0,
                                                     controls[: T - 1])
 
     rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
