@@ -183,6 +183,20 @@ def measure_extras(ref, golden_trajs, golden_ctls):
         dt, _ = _timeit(ms, ctl1)
         extras["rollout_ms_steps_per_sec_n161"] = round((T - 1) / dt)
 
+    # --- multi-rod assembly: coupled parallel-continuum rollout ---
+    # (core/assembly.py — no reference counterpart). 3 rods + rigid plate,
+    # one Newton system over [per-rod reactions, plate pose] per step.
+    if not on_cpu:
+        from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                      simulate_assembly)
+        asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
+                                 dtype=jnp.float32)
+        actl = jnp.broadcast_to(jnp.asarray(ctls[0], jnp.float32)[:, None, :],
+                                (T, 3, 4))
+        arun = jax.jit(lambda c: simulate_assembly(asm, c).traj)
+        dt, _ = _timeit(arun, actl)
+        extras["assembly_steps_per_sec_3rods"] = round((T - 1) / dt)
+
     # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
     from knode_cosserat_tpu.serving import CompiledStepper
     stepper = CompiledStepper(p10, fast=not on_cpu)

@@ -184,9 +184,25 @@ def make_ring_assembly(
 
 # --------------------------------------------------------------- solver
 
-def _sweep_all(rods: RodParams, G, yh, zh, tf, nn_fn, nn_history):
+def _sweep_all(rods: RodParams, G, yh, zh, tf, nn_fn, nn_history,
+               nn_spec=None, nn_params=None):
     """All M rod sweeps at once: G (M, 6), yh (M, N, 19), zh (M, N, 6),
-    tf (M, 3) -> (y (M, N, 19), z_body (M, N-1, 6))."""
+    tf (M, 3) -> (y (M, N, 19), z_body (M, N-1, 6)).
+
+    Residual options: ``nn_fn`` applies ONE shared residual to every rod;
+    ``nn_spec`` + ``nn_params`` (a params pytree STACKED along a leading M
+    axis) give each rod its own weights — e.g. residuals trained per rod
+    on coupled data. The per-rod params ride the same vmap as the rod
+    parameters."""
+    if nn_params is not None:
+        from ..models.mlp import mlp_apply
+
+        def one(p_i, G_i, yh_i, zh_i, tf_i, w_i):
+            fn = lambda x: mlp_apply(nn_spec, w_i, x)
+            return integrate_euler(p_i, G_i, yh_i, zh_i, tf_i, fn,
+                                   nn_history)
+
+        return jax.vmap(one)(rods, G, yh, zh, tf, nn_params)
     return jax.vmap(
         lambda p_i, G_i, yh_i, zh_i, tf_i: integrate_euler(
             p_i, G_i, yh_i, zh_i, tf_i, nn_fn, nn_history)
@@ -194,7 +210,7 @@ def _sweep_all(rods: RodParams, G, yh, zh, tf, nn_fn, nn_history):
 
 
 def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
-                       nn_fn, nn_history):
+                       nn_fn, nn_history, nn_spec=None, nn_params=None):
     """Stacked residual (6M + 7,). pph/vph/hph/wbh are the BDF-2 history
     combinations c1*x + c2*x_prev of the plate pose, velocity, quaternion
     and body angular velocity."""
@@ -205,7 +221,8 @@ def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
     pp = X[6 * M: 6 * M + 3]
     hp = X[6 * M + 3:]
 
-    y_nodes, _ = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history)
+    y_nodes, _ = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history,
+                            nn_spec, nn_params)
     tips = y_nodes[:, -1]                       # (M, 19)
     n_tip = tips[:, 7:10]
     m_tip = tips[:, 10:13]
@@ -262,7 +279,8 @@ def _implicit_root_dense(residual_fn, X0, tol, max_iter):
 def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
                         wbh, nn_fn=None, nn_history: bool = False,
                         tol: float = 1e-10, max_iter: int = 50,
-                        differentiable: bool = False):
+                        differentiable: bool = False,
+                        nn_spec=None, nn_params=None):
     """Solve one BDF-2 time step of the coupled assembly.
 
     Args:
@@ -275,7 +293,8 @@ def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
     """
     res = partial(_assembly_residual, asm, yh=yh, zh=zh, tf=tf, pph=pph,
                   vph=vph, hph=hph, wbh=wbh, nn_fn=nn_fn,
-                  nn_history=nn_history)
+                  nn_history=nn_history, nn_spec=nn_spec,
+                  nn_params=nn_params)
     if differentiable:
         X = _implicit_root_dense(res, X0, tol=tol, max_iter=max_iter)
         r = res(jax.lax.stop_gradient(X))
@@ -286,7 +305,8 @@ def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
         X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
     M = asm.M
     G = X[: 6 * M].reshape(M, 6)
-    y, z_body = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history)
+    y, z_body = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history,
+                           nn_spec, nn_params)
     return y, z_body, X, stats
 
 
@@ -327,6 +347,8 @@ def simulate_assembly(
     max_iter: int = 50,
     differentiable: bool = False,
     remat: bool = False,
+    nn_spec=None,
+    nn_params=None,
 ) -> AssemblySimOutput:
     """Closed-loop BDF-2 rollout of the coupled assembly.
 
@@ -338,6 +360,12 @@ def simulate_assembly(
     controls / rod params / plate params / NN weights (implicit function
     theorem at every coupled solve) — gradient-based tension planning for
     parallel continuum robots. remat=True checkpoints each time step.
+
+    Residuals: nn_fn applies one shared KNODE residual to every rod;
+    nn_spec + nn_params (stacked along a leading M axis) give each rod
+    its OWN weights — e.g. per-rod residuals trained on coupled data
+    (tests/test_assembly.py::test_train_knode_on_assembly_data produces
+    exactly such weights).
     """
     if tol is None:
         tol = 1e-16 if jnp.dtype(asm.dtype) == jnp.float64 else 1e-10
@@ -370,7 +398,8 @@ def simulate_assembly(
         X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
         y_new, z_body, X, stats = assembly_solve_step(
             asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
-            tol, max_iter, differentiable=differentiable)
+            tol, max_iter, differentiable=differentiable,
+            nn_spec=nn_spec, nn_params=nn_params)
         G_new = X[: 6 * M].reshape(M, 6)
         pp_new = X[6 * M: 6 * M + 3]
         hp_new = X[6 * M + 3:]

@@ -163,6 +163,53 @@ def _planner_step(cost, opt, logits, state):
     return optax.apply_updates(logits, updates), state
 
 
+def test_per_rod_nn_params_match_shared_when_equal():
+    """nn_params stacked with identical rows == the shared nn_fn path; a
+    heterogeneous stack (rod 1 residual zeroed) diverges from it."""
+    asm = make_ring_assembly(n_rods=2, base_radius=0.04, N=10,
+                             dtype=jnp.float64)
+    spec = MLPSpec.for_knode(16, False, "elu")
+    w = init_mlp(spec, jax.random.PRNGKey(0), jnp.float64)
+    w = jax.tree.map(lambda x: 0.01 * x, w)
+    ctl = 5.0 * jnp.ones((T, 2, 4), jnp.float64)
+
+    shared = simulate_assembly(asm, ctl, nn_fn=bind(spec, w), tol=1e-18)
+    stacked = jax.tree.map(lambda x: jnp.stack([x, x]), w)
+    per_rod = simulate_assembly(asm, ctl, nn_spec=spec, nn_params=stacked,
+                                tol=1e-18)
+    err = np.max(np.abs(np.asarray(per_rod.traj) - np.asarray(shared.traj)))
+    assert err < 1e-9, err
+
+    hetero = jax.tree.map(lambda x: jnp.stack([x, jnp.zeros_like(x)]), w)
+    out_h = simulate_assembly(asm, ctl, nn_spec=spec, nn_params=hetero,
+                              tol=1e-18)
+    assert np.asarray(out_h.residual_norm).max() < 1e-7
+    diff = np.max(np.abs(np.asarray(out_h.traj) - np.asarray(shared.traj)))
+    assert diff > 1e-8
+
+
+def test_train_knode_on_assembly_data():
+    """The teacher-forced KNODE loss is rod-local, so the EXISTING trainer
+    consumes per-rod assembly trajectories unchanged — hybrid residuals
+    can be fit to coupled-robot data with no new training code."""
+    from knode_cosserat_tpu.training.train import TrainConfig, train_knode
+
+    asm = make_ring_assembly(n_rods=2, base_radius=0.04, N=10,
+                             dtype=jnp.float64)
+    ctl = np.full((14, 2, 4), 5.0)
+    ctl[:, 0, 0] = 7.0
+    out = simulate_assembly(asm, jnp.asarray(ctl), tol=1e-18)
+    rod0 = jax.tree.map(lambda x: x[0], asm.rods)
+    traj0 = np.asarray(out.traj[:, 0, :, :25])        # (T, N, 25)
+    cfg = TrainConfig(epochs=30, hidden=32, eval_every=1000,
+                      log_every=1000, fused="off", seed=0)
+    res = train_knode(rod0, traj0[None], np.asarray(ctl[:, 0])[None], cfg,
+                      log=None)
+    hist = res.loss_history
+    assert np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+
+
 def test_mismatched_rods_raise():
     from knode_cosserat_tpu.core.assembly import stack_rods
     with pytest.raises(ValueError):
