@@ -52,7 +52,8 @@ from .spatial import base_state, integrate_euler
 from ..ops.quaternion import quat_to_rotmat
 
 __all__ = ["PlateParams", "RodAssembly", "make_ring_assembly", "stack_rods",
-           "assembly_solve_step", "simulate_assembly", "AssemblySimOutput"]
+           "assembly_solve_step", "assembly_step_carry", "AssemblyCarry",
+           "simulate_assembly", "AssemblySimOutput"]
 
 
 # ------------------------------------------------------------ quaternions
@@ -338,6 +339,83 @@ def _initial_rod_states(asm: RodAssembly):
     return jax.vmap(one)(rods.p0, rods.L)
 
 
+class AssemblyCarry(NamedTuple):
+    """BDF-2 carry of the coupled assembly (the scan state of
+    simulate_assembly; also the moving-horizon state for MPC)."""
+    y: jnp.ndarray          # (M, N, 19)
+    z: jnp.ndarray          # (M, N, 6)
+    y_prev: jnp.ndarray
+    z_prev: jnp.ndarray
+    G: jnp.ndarray          # (M, 6)
+    G_prev: jnp.ndarray
+    pp: jnp.ndarray         # (3,) plate position
+    pp_prev: jnp.ndarray
+    hp: jnp.ndarray         # (4,) plate quaternion
+    hp_prev: jnp.ndarray
+    vp: jnp.ndarray         # (3,) plate velocity (world)
+    vp_prev: jnp.ndarray
+    wb: jnp.ndarray         # (3,) plate angular velocity (body)
+    wb_prev: jnp.ndarray
+
+    @staticmethod
+    def initial(asm: "RodAssembly") -> "AssemblyCarry":
+        dtype = asm.dtype
+        y0, z0 = _initial_rod_states(asm)
+        G0 = jnp.zeros((asm.M, 6), dtype)
+        pp0 = jnp.asarray(asm.p_plate0, dtype)
+        hp0 = jnp.asarray(asm.h_plate0, dtype)
+        v0 = jnp.zeros(3, dtype)
+        return AssemblyCarry(y0, z0, y0, z0, G0, G0,
+                             pp0, pp0, hp0, hp0, v0, v0, v0, v0)
+
+
+def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
+                        nn_fn=None, nn_history: bool = False,
+                        tol: float = 1e-10, max_iter: int = 50,
+                        differentiable: bool = False, nn_spec=None,
+                        nn_params=None):
+    """One coupled BDF-2 step from an arbitrary carry — the building block
+    of simulate_assembly's scan and of moving-horizon planning. tensions:
+    (M, n_tendons). Returns (carry', record (M, N, 50), plate_pose (7,),
+    G (M, 6), stats)."""
+    rods = asm.rods
+    M = asm.M
+    dtype = asm.dtype
+    c0 = rods.c0[0]
+    c1 = rods.c1[0]
+    c2 = rods.c2[0]
+    (y, z, y_prev, z_prev, G, G_prev,
+     pp, pp_prev, hp, hp_prev, vp, vp_prev, wb, wb_prev) = carry
+    yh = c1 * y + c2 * y_prev
+    zh = c1 * z + c2 * z_prev
+    pph = c1 * pp + c2 * pp_prev
+    hph = c1 * hp + c2 * hp_prev
+    vph = c1 * vp + c2 * vp_prev
+    wbh = c1 * wb + c2 * wb_prev
+    tf = jnp.einsum("mt,mtc->mc", jnp.asarray(tensions, dtype),
+                    jnp.asarray(rods.tendon_dirs, dtype),
+                    precision=lax.Precision.HIGHEST)
+    X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
+    y_new, z_body, X, stats = assembly_solve_step(
+        asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
+        tol, max_iter, differentiable=differentiable,
+        nn_spec=nn_spec, nn_params=nn_params)
+    G_new = X[: 6 * M].reshape(M, 6)
+    pp_new = X[6 * M: 6 * M + 3]
+    hp_new = X[6 * M + 3:]
+    hp_new = hp_new / jnp.linalg.norm(hp_new)
+    z_new = jnp.concatenate([z_body, z[:, -1:]], axis=1)
+    vp_new = c0 * pp_new + pph
+    hdot = c0 * hp_new + hph
+    wb_new = _body_angular_velocity(hp_new, hdot)
+    record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
+    new_carry = AssemblyCarry(y_new, z_new, y, z, G_new, G,
+                              pp_new, pp, hp_new, hp, vp_new, vp,
+                              wb_new, wb)
+    return (new_carry, record, jnp.concatenate([pp_new, hp_new]), G_new,
+            stats)
+
+
 def simulate_assembly(
     asm: RodAssembly,
     controls: jnp.ndarray,
@@ -376,7 +454,6 @@ def simulate_assembly(
     c2 = rods.c2[0]
 
     y0, z0 = _initial_rod_states(asm)
-    z_tip = z0[:, -1]                       # (M, 6) frozen tip strain
     G0 = jnp.zeros((M, 6), dtype)
     pp0 = jnp.asarray(asm.p_plate0, dtype)
     hp0 = jnp.asarray(asm.h_plate0, dtype)
@@ -384,40 +461,16 @@ def simulate_assembly(
     wb0 = jnp.zeros(3, dtype)
 
     def step(carry, tensions):
-        (y, z, y_prev, z_prev, G, G_prev,
-         pp, pp_prev, hp, hp_prev, vp, vp_prev, wb, wb_prev) = carry
-        yh = c1 * y + c2 * y_prev
-        zh = c1 * z + c2 * z_prev
-        pph = c1 * pp + c2 * pp_prev
-        hph = c1 * hp + c2 * hp_prev
-        vph = c1 * vp + c2 * vp_prev
-        wbh = c1 * wb + c2 * wb_prev
-        tf = jnp.einsum("mt,mtc->mc", jnp.asarray(tensions, dtype),
-                        jnp.asarray(rods.tendon_dirs, dtype),
-                        precision=lax.Precision.HIGHEST)
-        X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
-        y_new, z_body, X, stats = assembly_solve_step(
-            asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
-            tol, max_iter, differentiable=differentiable,
-            nn_spec=nn_spec, nn_params=nn_params)
-        G_new = X[: 6 * M].reshape(M, 6)
-        pp_new = X[6 * M: 6 * M + 3]
-        hp_new = X[6 * M + 3:]
-        hp_new = hp_new / jnp.linalg.norm(hp_new)
-        z_new = jnp.concatenate([z_body, z_tip[:, None]], axis=1)
-        c0 = rods.c0[0]
-        vp_new = c0 * pp_new + pph
-        hdot = c0 * hp_new + hph
-        wb_new = _body_angular_velocity(hp_new, hdot)
-        record = jnp.concatenate([y_new, z_new, yh, zh], axis=-1)
-        new_carry = (y_new, z_new, y, z, G_new, G,
-                     pp_new, pp, hp_new, hp, vp_new, vp, wb_new, wb)
-        return new_carry, (record, jnp.concatenate([pp_new, hp_new]),
-                           G_new, stats.iterations, stats.residual_norm)
+        new_carry, record, plate7, G_new, stats = assembly_step_carry(
+            asm, carry, tensions, nn_fn, nn_history, tol, max_iter,
+            differentiable=differentiable, nn_spec=nn_spec,
+            nn_params=nn_params)
+        return new_carry, (record, plate7, G_new, stats.iterations,
+                           stats.residual_norm)
 
     T = controls.shape[0]
-    carry0 = (y0, z0, y0, z0, G0, G0,
-              pp0, pp0, hp0, hp0, vp0, vp0, wb0, wb0)
+    carry0 = AssemblyCarry(y0, z0, y0, z0, G0, G0,
+                           pp0, pp0, hp0, hp0, vp0, vp0, wb0, wb0)
     body = jax.checkpoint(step) if remat else step
     _, (records, plates, Gs, iters, res) = lax.scan(body, carry0,
                                                     controls[: T - 1])

@@ -1,0 +1,108 @@
+"""Plate-pose MPC over multi-rod assemblies (control/assembly_mpc.py).
+
+The assembly planner must (a) propagate gradients through the coupled
+(6M+7)-dim implicit solve at every horizon step, (b) recover a reachable
+plate-position track from pose targets alone, and (c) drive the
+receding-horizon controller. Small assemblies (M=2, N=6), short horizons,
+float32 — the suite stays CPU-fast; the heavy closed-loop test is slow-
+tier.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu.control import (AssemblyCarry,
+                                        AssemblyMPCController,
+                                        make_assembly_planner,
+                                        rollout_plate)
+from knode_cosserat_tpu.core.assembly import make_ring_assembly
+
+H = 6
+
+
+@pytest.fixture(scope="module")
+def asm():
+    return make_ring_assembly(n_rods=2, base_radius=0.04, N=6,
+                              dtype=jnp.float32)
+
+
+@pytest.fixture(scope="module")
+def target(asm):
+    """Plate track of a known, reachable tension schedule."""
+    u_true = np.full((H, 2, 4), 5.0, np.float32)
+    u_true[:, 0, 0] = np.linspace(6.0, 9.0, H)   # bend via rod 0, tendon 0
+    plates, _ = rollout_plate(asm, AssemblyCarry.initial(asm),
+                              jnp.asarray(u_true))
+    return u_true, np.asarray(plates)
+
+
+def test_rollout_plate_gradients_flow(asm, target):
+    _, plates_t = target
+    carry = AssemblyCarry.initial(asm)
+
+    def cost(u):
+        plates, _ = rollout_plate(asm, carry, u)
+        return jnp.mean(jnp.sum((plates[:, :3] - plates_t[:, :3]) ** 2,
+                                axis=-1))
+
+    g = jax.grad(cost)(5.0 * jnp.ones((H, 2, 4), jnp.float32))
+    assert np.all(np.isfinite(np.asarray(g)))
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
+def test_planner_recovers_reachable_plate_track(asm, target):
+    _, plates_t = target
+    plan = make_assembly_planner(asm, H, opt_iters=50, opt_lr=0.4,
+                                 u_max=20.0, w_du=0.0)
+    result = plan(AssemblyCarry.initial(asm), plates_t[:, :3])
+    costs = np.asarray(result.cost_history)
+    assert np.all(np.isfinite(costs))
+    # the mid-range warm start is already sub-2mm on this stiff plate, so
+    # the meaningful bars are a clear cost drop + absolute tracking error
+    assert costs[-1] < costs[0] / 3.0
+    err = np.sqrt(np.mean(np.sum(
+        (np.asarray(result.plate_poses[:, :3]) - plates_t[:, :3]) ** 2,
+        axis=-1)))
+    assert err < 1.5e-3, err
+    u = np.asarray(result.tensions)
+    assert u.min() >= 0.0 and u.max() <= 20.0
+
+
+def test_orientation_tracking_term(asm, target):
+    """With w_ori > 0 and the true quaternion track given, the combined
+    cost still optimizes to a small value (orientation term is consistent
+    with the position optimum, since targets come from one schedule)."""
+    u_true, plates_t = target
+    plan = make_assembly_planner(asm, H, opt_iters=50, opt_lr=0.4,
+                                 u_max=20.0, w_du=0.0, w_ori=0.1)
+    result = plan(AssemblyCarry.initial(asm), plates_t[:, :3],
+                  target_quat=plates_t[:, 3:7])
+    costs = np.asarray(result.cost_history)
+    assert np.all(np.isfinite(costs))
+    assert costs[-1] < costs[0] / 3.0
+
+
+@pytest.mark.slow
+def test_receding_horizon_controller(asm, target):
+    """Closed loop: the controller's model plate converges to a fixed
+    lateral target pose much closer than the uncontrolled plate."""
+    _, plates_t = target
+    tgt = np.broadcast_to(plates_t[-1, :3], (H, 3)).copy()
+    ctl = AssemblyMPCController(asm, horizon=H, first_iters=40,
+                                replan_iters=15, opt_lr=0.4, u_max=20.0,
+                                w_du=1e-5)
+    errs = []
+    for _ in range(7):
+        u0, info = ctl.act(tgt)
+        assert np.all(np.isfinite(np.asarray(u0)))
+        assert u0.shape == (2, 4)
+        errs.append(float(np.linalg.norm(
+            np.asarray(info["plate_pose"][:3]) - tgt[0])))
+    base_err = float(np.linalg.norm(
+        np.asarray(AssemblyCarry.initial(asm).pp) - tgt[0]))
+    # the target is the END of a transient ramp (not an equilibrium), so
+    # the loop approaches it over several steps and then hovers: require a
+    # strong best approach and that no step drifts past the start
+    assert min(errs) < 0.35 * base_err, (errs, base_err)
+    assert max(errs) < base_err, (errs, base_err)
