@@ -16,8 +16,14 @@ iteration on TPU:
 
 All M rod sweeps integrate simultaneously (``jax.vmap`` over the stacked
 rod pytree — the same batching trick as core/multiple_shooting), so the
-sequential depth of a residual evaluation is N-1 regardless of M, and the
-Jacobian comes from ``jax.jacfwd`` like every other solver in this package.
+sequential depth of a residual evaluation is N-1 regardless of M. The
+Jacobian is ARROWHEAD-structured (rod blocks + a 7-wide plate border) and
+can be assembled from 6 sweep tangents per rod plus cheap algebra
+(_assembly_jacobian, ``solver="structured"``) instead of jacfwd's 6M+7
+tangents through every sweep (``solver="dense"``). Measured: structured
+is 2-3x faster on CPU; dense is faster on TPU at M<=8 (latency-bound,
+the extra tangents vectorize for free) — ``solver="auto"`` (default)
+picks per backend.
 
 Physics conventions (matching core/rhs, reference cosserat_ode.py:114-186):
   - y[7:10] = n, y[10:13] = m are the WORLD-frame internal force/moment, so
@@ -210,21 +216,17 @@ def _sweep_all(rods: RodParams, G, yh, zh, tf, nn_fn, nn_history,
     )(rods, G, yh, zh, tf)
 
 
-def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
-                       nn_fn, nn_history, nn_spec=None, nn_params=None):
-    """Stacked residual (6M + 7,). pph/vph/hph/wbh are the BDF-2 history
-    combinations c1*x + c2*x_prev of the plate pose, velocity, quaternion
-    and body angular velocity."""
+def _residual_algebra(asm: RodAssembly, tips, plate7, pph, vph, hph, wbh):
+    """Residual (6M + 7,) as pure ALGEBRA of the sweep outputs: tips
+    (M, 13) = tip [p, h_raw, n, m] per rod, plate7 = [pp, hp]. All the
+    rod physics is behind ``tips``; everything here is cheap (no sweep),
+    which is what makes the structured Jacobian pay (see
+    _assembly_jacobian)."""
     M = asm.M
     plate = asm.plate
     c0 = asm.rods.c0[0]
-    G = X[: 6 * M].reshape(M, 6)
-    pp = X[6 * M: 6 * M + 3]
-    hp = X[6 * M + 3:]
-
-    y_nodes, _ = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history,
-                            nn_spec, nn_params)
-    tips = y_nodes[:, -1]                       # (M, 19)
+    pp = plate7[:3]
+    hp = plate7[3:]
     n_tip = tips[:, 7:10]
     m_tip = tips[:, 10:13]
 
@@ -261,13 +263,135 @@ def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
                             res_norm[None]])
 
 
-def _implicit_root_dense(residual_fn, X0, tol, max_iter):
-    """lax.custom_root around _newton_dense: gradients of the SOLVED
+def _assembly_residual(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
+                       nn_fn, nn_history, nn_spec=None, nn_params=None):
+    """Stacked residual (6M + 7,). pph/vph/hph/wbh are the BDF-2 history
+    combinations c1*x + c2*x_prev of the plate pose, velocity, quaternion
+    and body angular velocity."""
+    M = asm.M
+    G = X[: 6 * M].reshape(M, 6)
+    y_nodes, _ = _sweep_all(asm.rods, G, yh, zh, tf, nn_fn, nn_history,
+                            nn_spec, nn_params)
+    return _residual_algebra(asm, y_nodes[:, -1, :13], X[6 * M:],
+                             pph, vph, hph, wbh)
+
+
+def _tip_jacobians(asm: RodAssembly, G, yh, zh, tf, nn_fn, nn_history,
+                   nn_spec=None, nn_params=None):
+    """Per-rod tip Jacobians T_i = d tip_i / d G_i, the ONLY expensive part
+    of the coupled Jacobian: tip_i depends on G_i alone (the sweep is
+    rod-local), so 6 vmapped tangents replace the dense path's (6M + 7)
+    tangents through every sweep. Returns (T (M, 13, 6), tips (M, 13))."""
+    from ..models.mlp import mlp_apply
+
+    def one(p_i, G_i, yh_i, zh_i, tf_i, w_i):
+        if nn_params is not None:
+            fn = lambda x: mlp_apply(nn_spec, w_i, x)
+        else:
+            fn = nn_fn
+
+        def tip(g):
+            y, _ = integrate_euler(p_i, g, yh_i, zh_i, tf_i, fn, nn_history)
+            t = y[-1, :13]
+            return t, t
+
+        return jax.jacfwd(tip, has_aux=True)(G_i)
+
+    w_axis = jax.tree.map(lambda _: 0, nn_params) if nn_params is not None \
+        else None
+    return jax.vmap(one, in_axes=(0, 0, 0, 0, 0, w_axis))(
+        asm.rods, G, yh, zh, tf, nn_params)
+
+
+def _assembly_jacobian(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
+                       nn_fn, nn_history, nn_spec=None, nn_params=None):
+    """STRUCTURED (6M+7)^2 Jacobian + residual in one pass.
+
+    The coupled Jacobian is an arrowhead: rod constraints see only their
+    own G_i (through the sweep) plus the 7 plate variables (algebraically);
+    the plate balance rows see every tip. Chain rule splits it as
+
+        J[:, G_i]   = (d R / d tips_i) @ T_i        (T_i from _tip_jacobians)
+        J[:, plate] = d R / d plate7                 (cheap algebra)
+
+    so the sweeps carry 6 forward tangents instead of 6M+7 — the assembly
+    analogue of multiple_shooting._structured_direction (there the
+    structure is block-bidiagonal in space; here block-diagonal across
+    rods with a plate border)."""
+    M = asm.M
+    G = X[: 6 * M].reshape(M, 6)
+    plate7 = X[6 * M:]
+    T, tips = _tip_jacobians(asm, G, yh, zh, tf, nn_fn, nn_history,
+                             nn_spec, nn_params)
+
+    alg = lambda t, q: _residual_algebra(asm, t, q, pph, vph, hph, wbh)
+    Jt, Jq = jax.jacfwd(alg, argnums=(0, 1))(tips, plate7)
+    r = alg(tips, plate7)
+    # J columns for G: (R, M, 13) x (M, 13, 6) -> (R, M, 6), rod-major
+    JG = jnp.einsum("rmt,mtg->rmg", Jt, T).reshape(-1, 6 * M)
+    return jnp.concatenate([JG, Jq], axis=1), r
+
+
+def _newton_structured(residual_fn, jac_fn, X0, tol, max_iter,
+                       max_backtracks=6, lm_lambda0=1e-4, lm_growth=30.0,
+                       max_escalations=4):
+    """The _newton_dense loop (vmapped line search + LM stall escalation,
+    identical stats semantics) with (J, r) from the structured assembly
+    ``jac_fn`` instead of jacfwd through the full residual."""
+    dtype = X0.dtype
+    d = X0.shape[-1]
+    eye = jnp.eye(d, dtype=dtype)
+    alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
+    lam0 = jnp.asarray(lm_lambda0, dtype)
+
+    def cond(state):
+        X, r, r2, it, lam, fails, retries = state
+        return (r2 > tol) & (it < max_iter) & (fails <= max_escalations)
+
+    def body(state):
+        X, r, r2, it, lam, fails, retries = state
+        J, _ = jac_fn(X)
+        D = jnp.maximum(jnp.abs(jnp.diagonal(J)), 1.0)
+        J = J + lam * D * eye
+        dX = jnp.linalg.solve(J, -r)
+        dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
+
+        X_cand = X[None, :] + alphas[:, None] * dX[None, :]
+        r_cand = jax.vmap(residual_fn)(X_cand)
+        r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
+        improves = r2_cand < r2
+        idx = jnp.argmax(improves)
+        found = jnp.any(improves)
+        pick = jnp.where(found, idx, 0)
+        X_new = jnp.where(found, X_cand[pick], X)
+        r_new = jnp.where(found, r_cand[pick], r)
+        r2_new = jnp.where(found, r2_cand[pick], r2)
+        lam_new = jnp.where(found, 0.0, jnp.maximum(lam * lm_growth, lam0))
+        fails = jnp.where(found, 0, fails + 1)
+        retries = retries + jnp.where(found, 0, 1).astype(jnp.int32)
+        return (X_new, r_new, r2_new, it + 1, lam_new.astype(dtype),
+                fails, retries)
+
+    r0 = residual_fn(X0)
+    state0 = (X0, r0, jnp.sum(r0 * r0), jnp.array(0, jnp.int32),
+              jnp.zeros((), dtype), jnp.array(0, jnp.int32),
+              jnp.array(0, jnp.int32))
+    X, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
+    return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
+
+
+def _implicit_root_dense(residual_fn, X0, tol, max_iter, jac_fn=None):
+    """lax.custom_root around the Newton solve: gradients of the SOLVED
     coupled step flow via the implicit function theorem (the assembly
     analogue of core/shooting.implicit_root, with an LU tangent solve for
-    the (6M+7)-dim system)."""
+    the (6M+7)-dim system). jac_fn (optional) supplies the structured
+    (J, r) assembly for the forward Newton iterations."""
     def solve(f, x0):
-        X, _ = _newton_dense(f, x0, tol=tol, max_iter=max_iter)
+        if jac_fn is not None:
+            X, _ = _newton_structured(f, jac_fn, x0, tol=tol,
+                                      max_iter=max_iter)
+        else:
+            X, _ = _newton_dense(f, x0, tol=tol, max_iter=max_iter)
         return X
 
     def tangent_solve(g, y):
@@ -281,7 +405,8 @@ def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
                         wbh, nn_fn=None, nn_history: bool = False,
                         tol: float = 1e-10, max_iter: int = 50,
                         differentiable: bool = False,
-                        nn_spec=None, nn_params=None):
+                        nn_spec=None, nn_params=None,
+                        solver: str = "auto"):
     """Solve one BDF-2 time step of the coupled assembly.
 
     Args:
@@ -290,18 +415,38 @@ def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
       differentiable: route the solve through lax.custom_root so gradients
         w.r.t. tensions / rod params / NN weights flow via the implicit
         function theorem — enables MPC on parallel continuum robots.
+      solver: "structured" assembles the arrowhead Jacobian from 6 sweep
+        tangents + cheap algebra (see _assembly_jacobian); "dense" jacfwds
+        the full residual (6M+7 tangents through every sweep). "auto"
+        (default) picks by backend from measurement: structured is 2-3x
+        on CPU (tangent work dominates) but SLOWER on TPU at M<=8 (the
+        solve is latency-bound there and dense's tangents vectorize onto
+        the VPU for free, while the split tips->algebra Jacobian lengthens
+        the critical path) — so auto = structured on cpu, dense otherwise.
     Returns (y (M, N, 19), z_body (M, N-1, 6), X, stats).
     """
+    if solver == "auto":
+        solver = "structured" if jax.default_backend() == "cpu" else "dense"
+    if solver not in ("structured", "dense"):
+        raise ValueError(f"unknown assembly solver {solver!r}")
     res = partial(_assembly_residual, asm, yh=yh, zh=zh, tf=tf, pph=pph,
                   vph=vph, hph=hph, wbh=wbh, nn_fn=nn_fn,
                   nn_history=nn_history, nn_spec=nn_spec,
                   nn_params=nn_params)
+    jac = partial(_assembly_jacobian, asm, yh=yh, zh=zh, tf=tf, pph=pph,
+                  vph=vph, hph=hph, wbh=wbh, nn_fn=nn_fn,
+                  nn_history=nn_history, nn_spec=nn_spec,
+                  nn_params=nn_params) if solver == "structured" else None
     if differentiable:
-        X = _implicit_root_dense(res, X0, tol=tol, max_iter=max_iter)
+        X = _implicit_root_dense(res, X0, tol=tol, max_iter=max_iter,
+                                 jac_fn=jac)
         r = res(jax.lax.stop_gradient(X))
         stats = NewtonStats(jnp.array(0, jnp.int32),
                             jnp.sqrt(jnp.sum(r * r)), jnp.array(True),
                             jnp.array(0, jnp.int32))
+    elif jac is not None:
+        X, stats = _newton_structured(res, jac, X0, tol=tol,
+                                      max_iter=max_iter)
     else:
         X, stats = _newton_dense(res, X0, tol=tol, max_iter=max_iter)
     M = asm.M
@@ -373,7 +518,7 @@ def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
                         nn_fn=None, nn_history: bool = False,
                         tol: float = 1e-10, max_iter: int = 50,
                         differentiable: bool = False, nn_spec=None,
-                        nn_params=None):
+                        nn_params=None, solver: str = "auto"):
     """One coupled BDF-2 step from an arbitrary carry — the building block
     of simulate_assembly's scan and of moving-horizon planning. tensions:
     (M, n_tendons). Returns (carry', record (M, N, 50), plate_pose (7,),
@@ -399,7 +544,7 @@ def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
     y_new, z_body, X, stats = assembly_solve_step(
         asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
         tol, max_iter, differentiable=differentiable,
-        nn_spec=nn_spec, nn_params=nn_params)
+        nn_spec=nn_spec, nn_params=nn_params, solver=solver)
     G_new = X[: 6 * M].reshape(M, 6)
     pp_new = X[6 * M: 6 * M + 3]
     hp_new = X[6 * M + 3:]
@@ -427,6 +572,7 @@ def simulate_assembly(
     remat: bool = False,
     nn_spec=None,
     nn_params=None,
+    solver: str = "auto",
 ) -> AssemblySimOutput:
     """Closed-loop BDF-2 rollout of the coupled assembly.
 
@@ -464,7 +610,7 @@ def simulate_assembly(
         new_carry, record, plate7, G_new, stats = assembly_step_carry(
             asm, carry, tensions, nn_fn, nn_history, tol, max_iter,
             differentiable=differentiable, nn_spec=nn_spec,
-            nn_params=nn_params)
+            nn_params=nn_params, solver=solver)
         return new_carry, (record, plate7, G_new, stats.iterations,
                            stats.residual_norm)
 

@@ -210,6 +210,32 @@ def test_train_knode_on_assembly_data():
     assert hist[-1] < hist[0]
 
 
+def test_structured_solver_matches_dense():
+    """The arrowhead-structured Jacobian Newton (default) converges to the
+    same trajectory as the dense-jacfwd oracle, including with a hybrid
+    residual, and rejects unknown solver names."""
+    asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
+                             dtype=jnp.float64)
+    spec = MLPSpec.for_knode(16, False, "elu")
+    w = init_mlp(spec, jax.random.PRNGKey(1), jnp.float64)
+    w = jax.tree.map(lambda x: 0.01 * x, w)
+    ctl = np.full((T, 3, 4), 5.0)
+    ctl[:, 0, 0] = 8.0
+    ctl = jnp.asarray(ctl)
+    for kw in ({}, {"nn_fn": bind(spec, w)},
+               {"nn_spec": spec,
+                "nn_params": jax.tree.map(
+                    lambda x: jnp.stack([x, x, x]), w)}):
+        dense = simulate_assembly(asm, ctl, tol=1e-20, solver="dense", **kw)
+        struct = simulate_assembly(asm, ctl, tol=1e-20, solver="structured",
+                                   **kw)
+        assert np.asarray(struct.residual_norm).max() < 1e-9
+        err = np.max(np.abs(np.asarray(dense.traj) - np.asarray(struct.traj)))
+        assert err < 1e-9, (kw.keys(), err)
+    with pytest.raises(ValueError):
+        simulate_assembly(asm, ctl, solver="cg")
+
+
 def test_mismatched_rods_raise():
     from knode_cosserat_tpu.core.assembly import stack_rods
     with pytest.raises(ValueError):
