@@ -369,10 +369,36 @@ def cmd_train_real(args):
     print(f"saved {args.save_path} (final loss {res.loss_history[-1]:.3e})")
 
 
+def machine_fingerprint() -> str:
+    """Short hash of the host CPU identity (arch + /proc/cpuinfo flags).
+
+    XLA:CPU persistent-cache entries embed AOT machine code for the
+    COMPILING host's CPU features; JAX's cache key does not include them,
+    so replaying a cache dir on a host with fewer features (e.g. after a
+    VM migration) SIGSEGVs/SIGILLs inside the deserialized executable.
+    Scoping the cache dir by this fingerprint makes foreign entries
+    unreachable instead of fatal."""
+    import hashlib
+    import platform
+
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    txt += line
+                    break
+    except OSError:
+        txt += platform.processor() or ""
+    return hashlib.sha256(txt.encode()).hexdigest()[:12]
+
+
 def enable_compile_cache():
     """Persistent XLA compile cache for every product entry point: repeat
     CLI/bench invocations skip the 20-150 s first-compile of the big jits
-    (kernel grids, vmapped rollouts). Opt out: KNODE_NO_COMPILE_CACHE=1."""
+    (kernel grids, vmapped rollouts). The dir is scoped by
+    machine_fingerprint() — see its docstring. Opt out:
+    KNODE_NO_COMPILE_CACHE=1."""
     if os.environ.get("KNODE_NO_COMPILE_CACHE"):
         return
     import jax
@@ -380,6 +406,7 @@ def enable_compile_cache():
         "KNODE_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache",
                      "knode_cosserat_tpu", "jax"))
+    cache = os.path.join(cache, machine_fingerprint())
     try:
         os.makedirs(cache, exist_ok=True)
     except OSError:

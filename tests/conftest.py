@@ -30,9 +30,33 @@ if _TEST_PLATFORM == "cpu":
 
 # Persistent compilation cache: this box has a single CPU core, so XLA
 # compiles dominate the suite's wall clock. Caching compiled executables
-# across runs cuts repeat runs severalfold (first run populates).
+# across runs cuts repeat runs severalfold (first run populates). The dir
+# is scoped by a host-CPU fingerprint: XLA:CPU cache entries embed AOT
+# machine code for the compiling host's CPU features, and replaying them
+# after a VM migration SIGSEGVs (observed: avx512 entries on an avx2-only
+# host crashed mid-suite in compilation_cache.get_executable_and_time).
+# Self-contained copy of cli.machine_fingerprint() — conftest must not
+# import the package before the platform pin above.
+
+
+def _machine_tag():
+    import hashlib
+    import platform
+
+    txt = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.lower().startswith(("flags", "features")):
+                    txt += line
+                    break
+    except OSError:
+        txt += platform.processor() or ""
+    return hashlib.sha256(txt.encode()).hexdigest()[:12]
+
+
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache")
+    os.path.abspath(__file__))), ".jax_cache", _machine_tag())
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
