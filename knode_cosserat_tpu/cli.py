@@ -116,6 +116,15 @@ def cmd_simulate(args):
     else:
         controls = calc_controls(args.type, args.arg, float(p.del_t),
                                  args.steps)
+    # refuse silently-ignored flag combinations: the elif chain below
+    # dispatches exactly one rollout implementation
+    if args.segments and args.model:
+        raise SystemExit("simulate: --segments (multiple shooting) does not "
+                         "support --model hybrid rollouts yet; drop one")
+    if args.segments and args.fast:
+        raise SystemExit("simulate: --segments and --fast pick different "
+                         "solvers (multiple shooting vs the fused kernel "
+                         "driver); drop one")
     if args.model:
         import jax
         import jax.numpy as jnp
@@ -393,15 +402,59 @@ def machine_fingerprint() -> str:
     return hashlib.sha256(txt.encode()).hexdigest()[:12]
 
 
+def install_atomic_cache_writes():
+    """Make JAX's persistent-cache writes atomic (tempfile + os.replace).
+
+    jax._src.lru_cache.LRUCache.put writes bytes DIRECTLY to the final
+    cache path, and with eviction disabled (no max size configured, the
+    default here) it takes no lock either — so when several processes
+    share a cache dir, a reader can consume a half-written entry and
+    SIGSEGV inside backend.deserialize_executable (observed mid-suite
+    with three concurrent pytest processes). A same-directory tempfile
+    renamed into place makes entries visible only when complete."""
+    import os as _os
+
+    try:
+        from jax._src import lru_cache as _lru
+    except ImportError:      # cache backend moved/absent: nothing to fix
+        return
+    orig_put = _lru.LRUCache.put
+    if getattr(orig_put, "_knode_atomic", False):
+        return
+
+    def atomic_put(self, key, val):
+        if not key:
+            raise ValueError("key cannot be empty")
+        if self.eviction_enabled:     # eviction path holds a file lock
+            return orig_put(self, key, val)
+        cache_path = self.path / f"{key}{_lru._CACHE_SUFFIX}"
+        if cache_path.exists():
+            return
+        tmp = cache_path.with_name(f"{cache_path.name}.tmp{_os.getpid()}")
+        try:
+            tmp.write_bytes(val)
+            _os.replace(tmp, cache_path)
+        except OSError:               # cache write failure is never fatal
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
+
+    atomic_put._knode_atomic = True
+    _lru.LRUCache.put = atomic_put
+
+
 def enable_compile_cache():
     """Persistent XLA compile cache for every product entry point: repeat
     CLI/bench invocations skip the 20-150 s first-compile of the big jits
     (kernel grids, vmapped rollouts). The dir is scoped by
-    machine_fingerprint() — see its docstring. Opt out:
+    machine_fingerprint() — see its docstring — and writes are made
+    atomic (install_atomic_cache_writes). Opt out:
     KNODE_NO_COMPILE_CACHE=1."""
     if os.environ.get("KNODE_NO_COMPILE_CACHE"):
         return
     import jax
+    install_atomic_cache_writes()
     cache = os.environ.get(
         "KNODE_COMPILE_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache",

@@ -71,7 +71,10 @@ def _quat_err(h: jnp.ndarray, h_target: jnp.ndarray) -> jnp.ndarray:
     """Vector part of h_target^-1 * h, sign-corrected (antipode-safe);
     ~ rotvec/2 for small errors. Shapes (..., 4) -> (..., 3)."""
     rel = _quat_mul(_quat_conj(h_target), h)
-    return rel[..., 1:4] * jnp.sign(rel[..., 0:1])
+    # where(>=0) not sign(): sign(0) = 0 would zero the error (and its
+    # gradient) at exactly 180 deg — the maximally wrong orientation.
+    flip = jnp.where(rel[..., 0:1] >= 0, 1.0, -1.0).astype(rel.dtype)
+    return rel[..., 1:4] * flip
 
 
 def make_assembly_planner(

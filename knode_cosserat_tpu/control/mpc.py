@@ -196,6 +196,19 @@ class MPCController:
                                         opt_iters=first_iters, **kw)
         self._plan_warm = make_planner(p, horizon, spec,
                                        opt_iters=replan_iters, **kw)
+        # Build the advance step ONCE: a fresh jit(partial(...)) per act()
+        # call would miss the trace cache every time and recompile the
+        # implicit BDF-2 solve at every control step. nn_params stays a
+        # traced argument so later weight updates don't hit stale closures.
+        tol = kw.get("tol", 1e-10)
+        max_iter = kw.get("max_iter", 30)
+
+        def _advance(state, u, nn_p):
+            nn_fn = bind(spec, nn_p) if spec is not None else None
+            nn_history = bool(spec.history) if spec is not None else False
+            return _bdf2_step(p, state, u, nn_fn, nn_history, tol, max_iter)
+
+        self._step = jax.jit(_advance)
         self.state = PlanState.initial(p)
         self._logits = None
         self._u_applied = None
@@ -213,14 +226,7 @@ class MPCController:
                          self.nn_params, self._u_applied)
         u0 = result.tensions[0]
         # advance the internal model by the applied action
-        nn_fn = (bind(self.spec, self.nn_params)
-                 if self.spec is not None else None)
-        nn_history = bool(self.spec.history) if self.spec is not None else False
-        self.state = jax.jit(
-            partial(_bdf2_step, self.p, nn_fn=nn_fn, nn_history=nn_history,
-                    tol=self._kw.get("tol", 1e-10),
-                    max_iter=self._kw.get("max_iter", 30)))(
-                        self.state, u0)
+        self.state = self._step(self.state, u0, self.nn_params)
         # shift warm start: drop the applied step, repeat the last
         self._logits = jnp.concatenate([result.logits[1:],
                                         result.logits[-1:]], axis=0)

@@ -51,7 +51,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax import lax
 
-from .multiple_shooting import _newton_dense
+from .multiple_shooting import _lm_damped_solve, _newton_dense, _newton_loop
 from .params import RodParams, _pytree_dataclass, make_rod
 from .shooting import NewtonStats
 from .spatial import base_state, integrate_euler
@@ -138,10 +138,17 @@ def stack_rods(rods: Sequence[RodParams]) -> RodParams:
     """Stack per-rod parameter pytrees along a new leading axis (static
     fields must agree)."""
     r0 = rods[0]
+    dt0 = float(np.asarray(r0.del_t))
     for r in rods[1:]:
         if r.N != r0.N or r.n_tendons != r0.n_tendons:
             raise ValueError("all rods in an assembly must share N and "
                              "n_tendons")
+        # The coupled step applies rod 0's BDF-2 coefficients (c0/c1/c2)
+        # to every rod's history AND the plate; mismatched del_t would
+        # converge to a silently inconsistent time discretization.
+        if float(np.asarray(r.del_t)) != dt0:
+            raise ValueError("all rods in an assembly must share del_t "
+                             f"(got {float(np.asarray(r.del_t))} vs {dt0})")
     return jax.tree.map(lambda *xs: jnp.stack(xs), *rods)
 
 
@@ -332,52 +339,18 @@ def _assembly_jacobian(asm: RodAssembly, X, yh, zh, tf, pph, vph, hph, wbh,
     return jnp.concatenate([JG, Jq], axis=1), r
 
 
-def _newton_structured(residual_fn, jac_fn, X0, tol, max_iter,
-                       max_backtracks=6, lm_lambda0=1e-4, lm_growth=30.0,
-                       max_escalations=4):
-    """The _newton_dense loop (vmapped line search + LM stall escalation,
-    identical stats semantics) with (J, r) from the structured assembly
-    ``jac_fn`` instead of jacfwd through the full residual."""
-    dtype = X0.dtype
-    d = X0.shape[-1]
-    eye = jnp.eye(d, dtype=dtype)
-    alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
-    lam0 = jnp.asarray(lm_lambda0, dtype)
+def _newton_structured(residual_fn, jac_fn, X0, tol, max_iter, **kw):
+    """The shared multiple_shooting._newton_loop (vmapped line search + LM
+    stall escalation, identical stats semantics) with (J, r) from the
+    structured assembly ``jac_fn`` instead of jacfwd through the full
+    residual."""
+    eye = jnp.eye(X0.shape[-1], dtype=X0.dtype)
 
-    def cond(state):
-        X, r, r2, it, lam, fails, retries = state
-        return (r2 > tol) & (it < max_iter) & (fails <= max_escalations)
-
-    def body(state):
-        X, r, r2, it, lam, fails, retries = state
+    def direction(X, r, lam):
         J, _ = jac_fn(X)
-        D = jnp.maximum(jnp.abs(jnp.diagonal(J)), 1.0)
-        J = J + lam * D * eye
-        dX = jnp.linalg.solve(J, -r)
-        dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
+        return _lm_damped_solve(J, r, lam, eye)
 
-        X_cand = X[None, :] + alphas[:, None] * dX[None, :]
-        r_cand = jax.vmap(residual_fn)(X_cand)
-        r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
-        improves = r2_cand < r2
-        idx = jnp.argmax(improves)
-        found = jnp.any(improves)
-        pick = jnp.where(found, idx, 0)
-        X_new = jnp.where(found, X_cand[pick], X)
-        r_new = jnp.where(found, r_cand[pick], r)
-        r2_new = jnp.where(found, r2_cand[pick], r2)
-        lam_new = jnp.where(found, 0.0, jnp.maximum(lam * lm_growth, lam0))
-        fails = jnp.where(found, 0, fails + 1)
-        retries = retries + jnp.where(found, 0, 1).astype(jnp.int32)
-        return (X_new, r_new, r2_new, it + 1, lam_new.astype(dtype),
-                fails, retries)
-
-    r0 = residual_fn(X0)
-    state0 = (X0, r0, jnp.sum(r0 * r0), jnp.array(0, jnp.int32),
-              jnp.zeros((), dtype), jnp.array(0, jnp.int32),
-              jnp.array(0, jnp.int32))
-    X, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
-    return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
+    return _newton_loop(residual_fn, direction, X0, tol, max_iter, **kw)
 
 
 def _implicit_root_dense(residual_fn, X0, tol, max_iter, jac_fn=None):
@@ -593,18 +566,6 @@ def simulate_assembly(
     """
     if tol is None:
         tol = 1e-16 if jnp.dtype(asm.dtype) == jnp.float64 else 1e-10
-    M = asm.M
-    dtype = asm.dtype
-    rods = asm.rods
-    c1 = rods.c1[0]
-    c2 = rods.c2[0]
-
-    y0, z0 = _initial_rod_states(asm)
-    G0 = jnp.zeros((M, 6), dtype)
-    pp0 = jnp.asarray(asm.p_plate0, dtype)
-    hp0 = jnp.asarray(asm.h_plate0, dtype)
-    vp0 = jnp.zeros(3, dtype)
-    wb0 = jnp.zeros(3, dtype)
 
     def step(carry, tensions):
         new_carry, record, plate7, G_new, stats = assembly_step_carry(
@@ -615,17 +576,17 @@ def simulate_assembly(
                            stats.residual_norm)
 
     T = controls.shape[0]
-    carry0 = AssemblyCarry(y0, z0, y0, z0, G0, G0,
-                           pp0, pp0, hp0, hp0, vp0, vp0, wb0, wb0)
+    carry0 = AssemblyCarry.initial(asm)
     body = jax.checkpoint(step) if remat else step
     _, (records, plates, Gs, iters, res) = lax.scan(body, carry0,
                                                     controls[: T - 1])
 
-    rec0 = jnp.concatenate([y0, z0, y0, z0], axis=-1)[None]
+    rec0 = jnp.concatenate([carry0.y, carry0.z, carry0.y, carry0.z],
+                           axis=-1)[None]
     traj = jnp.concatenate([rec0, records], axis=0)
-    plate0 = jnp.concatenate([pp0, hp0])[None]
+    plate0 = jnp.concatenate([carry0.pp, carry0.hp])[None]
     plate_pose = jnp.concatenate([plate0, plates], axis=0)
-    Gs = jnp.concatenate([G0[None], Gs], axis=0)
+    Gs = jnp.concatenate([carry0.G[None], Gs], axis=0)
     iters = jnp.concatenate([jnp.zeros(1, iters.dtype), iters])
     res = jnp.concatenate([jnp.zeros(1, res.dtype), res])
     return AssemblySimOutput(traj, plate_pose, Gs, iters, res)

@@ -102,15 +102,19 @@ def _ms_residual(p: RodParams, X, yh_segs, zh_segs, tf, S, nn_fn,
     return jnp.concatenate([cont, tip])
 
 
-def _newton_dense(residual_fn, X0, tol, max_iter, max_backtracks=6,
-                  lm_lambda0=1e-4, lm_growth=30.0, max_escalations=4):
-    """Damped Newton with vmapped line search and LM stall escalation for
-    the (6 + 19*(S-1))-dim multiple-shooting system. Same algorithm as
-    core/shooting.newton_solve, but the linear solve is jnp.linalg.solve
-    (LU) — solve_small's unrolled elimination is built for 6x6, not ~139^2."""
+def _newton_loop(residual_fn, direction_fn, X0, tol, max_iter,
+                 max_backtracks=6, lm_lambda0=1e-4, lm_growth=30.0,
+                 max_escalations=4):
+    """Shared damped-Newton driver: vmapped backtracking line search + LM
+    stall escalation, used by BOTH multiple-shooting solvers and the
+    assembly solver (one copy of the loop, three direction producers).
+
+    ``direction_fn(X, r, lam) -> dX`` supplies the (LM-damped) Newton
+    direction; this loop owns everything else — the backtracking search
+    over 0.5^k steps, the lam/fails escalation ladder (stall -> lam *=
+    lm_growth, success -> lam = 0), the non-finite fallback to steepest
+    descent (-r), and the NewtonStats semantics."""
     dtype = X0.dtype
-    d = X0.shape[-1]
-    eye = jnp.eye(d, dtype=dtype)
     alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
     lam0 = jnp.asarray(lm_lambda0, dtype)
 
@@ -120,10 +124,7 @@ def _newton_dense(residual_fn, X0, tol, max_iter, max_backtracks=6,
 
     def body(state):
         X, r, r2, it, lam, fails, retries = state
-        J = jax.jacfwd(residual_fn)(X)
-        D = jnp.maximum(jnp.abs(jnp.diagonal(J)), 1.0)
-        J = J + lam * D * eye
-        dX = jnp.linalg.solve(J, -r)
+        dX = direction_fn(X, r, lam)
         dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
 
         X_cand = X[None, :] + alphas[:, None] * dX[None, :]
@@ -148,6 +149,25 @@ def _newton_dense(residual_fn, X0, tol, max_iter, max_backtracks=6,
               jnp.array(0, jnp.int32))
     X, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
     return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
+
+
+def _lm_damped_solve(J, r, lam, eye):
+    """LM-damped LU solve of J dX = -r with Marquardt diagonal scaling."""
+    D = jnp.maximum(jnp.abs(jnp.diagonal(J)), 1.0)
+    return jnp.linalg.solve(J + lam * D * eye, -r)
+
+
+def _newton_dense(residual_fn, X0, tol, max_iter, **kw):
+    """Damped Newton with vmapped line search and LM stall escalation for
+    the (6 + 19*(S-1))-dim multiple-shooting system. Same algorithm as
+    core/shooting.newton_solve, but the linear solve is jnp.linalg.solve
+    (LU) — solve_small's unrolled elimination is built for 6x6, not ~139^2."""
+    eye = jnp.eye(X0.shape[-1], dtype=X0.dtype)
+
+    def direction(X, r, lam):
+        return _lm_damped_solve(jax.jacfwd(residual_fn)(X), r, lam, eye)
+
+    return _newton_loop(residual_fn, direction, X0, tol, max_iter, **kw)
 
 
 def _structured_direction(p: RodParams, X, lam, yh_segs, zh_segs, tf, S,
@@ -229,47 +249,14 @@ def _structured_direction(p: RodParams, X, lam, yh_segs, zh_segs, tf, S,
 
 
 def _newton_structured(p, residual_fn, X0, yh_segs, zh_segs, tf, S, nn_fn,
-                       nn_history, tol, max_iter, max_backtracks=6,
-                       lm_lambda0=1e-4, lm_growth=30.0, max_escalations=4,
-                       shard=lambda a: a):
-    """The _newton_dense loop (line search + LM escalation, identical stats
-    semantics) with the direction from _structured_direction."""
-    dtype = X0.dtype
-    alphas = (0.5 ** jnp.arange(max_backtracks + 1)).astype(dtype)
-    lam0 = jnp.asarray(lm_lambda0, dtype)
+                       nn_history, tol, max_iter, shard=lambda a: a, **kw):
+    """The shared _newton_loop with the direction from
+    _structured_direction (block-bidiagonal elimination)."""
+    def direction(X, r, lam):
+        return _structured_direction(p, X, lam, yh_segs, zh_segs, tf, S,
+                                     nn_fn, nn_history, shard)
 
-    def cond(state):
-        X, r, r2, it, lam, fails, retries = state
-        return (r2 > tol) & (it < max_iter) & (fails <= max_escalations)
-
-    def body(state):
-        X, r, r2, it, lam, fails, retries = state
-        dX = _structured_direction(p, X, lam, yh_segs, zh_segs, tf, S,
-                                   nn_fn, nn_history, shard)
-        dX = jnp.where(jnp.all(jnp.isfinite(dX)), dX, -r)
-
-        X_cand = X[None, :] + alphas[:, None] * dX[None, :]
-        r_cand = jax.vmap(residual_fn)(X_cand)
-        r2_cand = jnp.sum(r_cand * r_cand, axis=-1)
-        improves = r2_cand < r2
-        idx = jnp.argmax(improves)
-        found = jnp.any(improves)
-        pick = jnp.where(found, idx, 0)
-        X_new = jnp.where(found, X_cand[pick], X)
-        r_new = jnp.where(found, r_cand[pick], r)
-        r2_new = jnp.where(found, r2_cand[pick], r2)
-        lam_new = jnp.where(found, 0.0, jnp.maximum(lam * lm_growth, lam0))
-        fails = jnp.where(found, 0, fails + 1)
-        retries = retries + jnp.where(found, 0, 1).astype(jnp.int32)
-        return (X_new, r_new, r2_new, it + 1, lam_new.astype(dtype),
-                fails, retries)
-
-    r0 = residual_fn(X0)
-    state0 = (X0, r0, jnp.sum(r0 * r0), jnp.array(0, jnp.int32),
-              jnp.zeros((), dtype), jnp.array(0, jnp.int32),
-              jnp.array(0, jnp.int32))
-    X, r, r2, it, lam, fails, retries = lax.while_loop(cond, body, state0)
-    return X, NewtonStats(it, jnp.sqrt(r2), r2 <= tol, retries)
+    return _newton_loop(residual_fn, direction, X0, tol, max_iter, **kw)
 
 
 def ms_solve_step(p: RodParams, yh, zh, tf, X0, n_segments: int,

@@ -86,11 +86,14 @@ def save_checkpoint(path: str, tree: Any, meta: Optional[dict] = None,
 class AsyncCheckpointWriter:
     """Non-blocking checkpoint writes for long training/grid runs.
 
-    ``save`` snapshots the pytree (jax arrays are immutable, so holding
-    references is safe — no copy on the caller's thread) and enqueues the
-    device->host transfer + serialization on a worker thread; the training
-    loop never stalls on checkpoint IO (the roadmap "async checkpointing
-    for long grid runs" item). ``use_orbax=True`` writes through
+    ``save`` snapshots the pytree at enqueue time — the container
+    STRUCTURE is rebuilt (so a live list the caller keeps appending to,
+    e.g. a training loop's dtw history, is frozen as-of-now), while array
+    leaves are held by reference (jax/numpy arrays are not mutated by the
+    training loop, so no data copy lands on the caller's thread) — and
+    enqueues the device->host transfer + serialization on a worker
+    thread; the training loop never stalls on checkpoint IO (the roadmap
+    "async checkpointing for long grid runs" item). ``use_orbax=True`` writes through
     ``orbax.checkpoint.AsyncCheckpointer`` (directory format) instead of
     the npz codec; both load back with ``load_checkpoint``.
 
@@ -139,6 +142,11 @@ class AsyncCheckpointWriter:
         if self._err is not None:
             err, self._err = self._err, None
             raise err
+        # Rebuild the container structure so mutations the caller makes
+        # AFTER this call (list appends, dict inserts) can't leak into the
+        # serialized snapshot; leaves are shared by reference.
+        tree = jax.tree.map(lambda x: x, tree)
+        meta = dict(meta) if meta else meta
         self._q.put((path, tree, meta))
 
     def wait(self):

@@ -63,8 +63,47 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# Concurrent pytest processes share the cache dir; JAX's stock put()
+# writes straight to the final path, so a parallel reader can deserialize
+# a half-written entry and SIGSEGV (observed). Safe to import the package
+# here: the platform pin above already happened, and importing does not
+# initialize a backend.
+from knode_cosserat_tpu.cli import install_atomic_cache_writes
+
+install_atomic_cache_writes()
+
 import numpy as np
 import pytest
+
+# Memory-mapping guard: a full-suite process accumulates tens of
+# thousands of memory mappings (every compiled/deserialized XLA:CPU
+# executable maps code pages — measured ~3 maps per small executable,
+# hundreds for the big vmapped/jacfwd programs) and the kernel's default
+# vm.max_map_count is 65530. When the suite crosses it (observed
+# repeatedly at ~63%), the next mmap fails and XLA SIGSEGVs inside
+# deserialize_executable. Two defenses:
+#  1. best-effort raise of the limit (works when running as root);
+#  2. per-module jax.clear_caches() below — dropping executable
+#     references reclaims ~95% of their mappings (measured).
+try:
+    with open("/proc/sys/vm/max_map_count", "r+") as _f:
+        if int(_f.read()) < 262144:
+            _f.seek(0)
+            _f.write("262144")
+except (OSError, ValueError):
+    pass
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bound_executable_mappings():
+    """Release compiled-executable mappings at every module boundary (see
+    the max_map_count note above). The persistent compile cache makes the
+    next module's re-instantiations cheap deserializes, not recompiles."""
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")

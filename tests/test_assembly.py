@@ -40,6 +40,17 @@ def test_single_rod_massless_plate_matches_free_tip():
     assert min(np.abs(q - qt).max(), np.abs(q + qt).max()) < 1e-9
 
 
+def test_stack_rods_rejects_mismatched_del_t():
+    """The coupled step applies rod 0's BDF-2 coefficients to every rod
+    and the plate; a del_t mismatch must raise, not silently converge to
+    an inconsistent time discretization."""
+    from knode_cosserat_tpu.core.assembly import stack_rods
+    r1 = make_rod(N=6, dtype=jnp.float64)
+    r2 = make_rod(N=6, dtype=jnp.float64, del_t=0.01)
+    with pytest.raises(ValueError, match="del_t"):
+        stack_rods([r1, r2])
+
+
 def test_symmetric_ring_stays_symmetric():
     """3 rods at 120 degrees, equal tensions: the plate stays on the axis
     with identity orientation (the 4 tendon directions sum to zero, so the

@@ -69,6 +69,19 @@ def test_planner_recovers_reachable_plate_track(asm, target):
     assert u.min() >= 0.0 and u.max() <= 20.0
 
 
+def test_quat_err_antipodal_is_not_zero():
+    """sign(0)=0 used to zero the orientation error (and its gradient) at
+    EXACTLY 180 degrees — the maximally wrong orientation. The where(>=0)
+    flip must report |vec| = 1 there."""
+    from knode_cosserat_tpu.control.assembly_mpc import _quat_err
+    h = jnp.array([1.0, 0.0, 0.0, 0.0])
+    ht = jnp.array([0.0, 0.0, 0.0, 1.0])     # 180-degree flip about z
+    err = _quat_err(h, ht)
+    assert float(jnp.linalg.norm(err)) > 0.99
+    g = jax.grad(lambda q: jnp.sum(_quat_err(q, ht) ** 2))(h)
+    assert float(jnp.max(jnp.abs(g))) > 0.0
+
+
 def test_orientation_tracking_term(asm, target):
     """With w_ori > 0 and the true quaternion track given, the combined
     cost still optimizes to a small value (orientation term is consistent

@@ -79,6 +79,26 @@ def test_async_checkpoint_writer_orbax(tmp_path):
     np.testing.assert_array_equal(np.asarray(loaded["x"]), np.arange(4.0))
 
 
+def test_async_checkpoint_snapshots_mutable_containers(tmp_path):
+    """save() must freeze mutable containers at enqueue time: the training
+    loop keeps appending to its live dtw-history list (and stamping meta)
+    while the worker thread serializes — a checkpoint stamped epoch E must
+    not contain entries from epochs > E."""
+    from knode_cosserat_tpu.training.checkpoint import AsyncCheckpointWriter
+    path = str(tmp_path / "snap_ckpt")
+    live = [(0, 1.0)]
+    meta = {"epoch": 10}
+    with AsyncCheckpointWriter() as w:
+        w.save(path, {"dtw": live}, meta=meta)
+        live.append((99, 2.0))      # post-enqueue mutations...
+        meta["epoch"] = 999
+        w.wait()
+        loaded, m = load_checkpoint(path)
+    assert m == {"epoch": 10}       # ...must not leak into the snapshot
+    np.testing.assert_array_equal(np.asarray(loaded["dtw"]),
+                                  [[0.0, 1.0]])
+
+
 def test_async_checkpoint_surfaces_errors(tmp_path):
     from knode_cosserat_tpu.training.checkpoint import AsyncCheckpointWriter
     w = AsyncCheckpointWriter()

@@ -63,6 +63,18 @@ def test_planner_recovers_reachable_target(rod, target):
     assert u.min() >= 0.0 and u.max() <= 20.0
 
 
+def test_controller_advance_step_is_cached(rod, target):
+    """act() must reuse ONE compiled advance step: a fresh jit(partial)
+    per call (the old code) missed the trace cache every time and
+    recompiled the implicit BDF-2 solve at every control step."""
+    _, tips_t = target
+    ctl = MPCController(rod, horizon=4, first_iters=2, replan_iters=2,
+                        opt_lr=0.4)
+    for t in range(3):
+        ctl.act(tips_t[:4])
+    assert ctl._step._cache_size() == 1
+
+
 @pytest.mark.slow
 def test_receding_horizon_tracks(rod, target):
     """Closed loop: after a few MPC steps the model tip is closer to the
