@@ -3,5 +3,6 @@ from .data import (make_training_data, make_validation_reference,
 from .loss import (teacher_forced_loss, grow_predictions,
                    DEFAULT_KEYPOINTS_FAST, DEFAULT_KEYPOINTS_SLOW,
                    DEFAULT_KEYPOINTS_REAL)
+from .online import OnlineAdapter, OnlineConfig
 from .train import (TrainConfig, TrainResult, train_knode, make_train_step,
                     make_epoch_scan, make_optimizer, rollout_with_nn)

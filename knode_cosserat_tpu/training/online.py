@@ -1,0 +1,185 @@
+"""Online KNODE adaptation: streaming residual learning on device.
+
+The reference can only train OFFLINE: collect a dataset, then fit
+(physics_train.py drives the whole run from saved trajectories;
+train_segment.py likewise for real data). This module closes the loop —
+telemetry streams in one step at a time (full-state records + the
+applied tendon tensions, e.g. from the SIL twin via realworld/estimate
+or straight from a digital-twin rollout), a ring buffer keeps the last
+``window`` steps, and every ``update()`` runs a few jitted optax steps
+of the SAME teacher-forced loss the offline trainer uses
+(training/loss.py, reference loss physics_train.py:345-352) on that
+window. The adapted weights can be handed live to control/mpc.py's
+``MPCController`` (``nn_params`` is a traced argument of both the
+planner and the advance step), so the controller's internal model
+improves while it runs — continual "learning on the robot" that the
+reference architecture cannot express.
+
+Design notes (TPU-first):
+  - The update step is ONE jitted program reused forever: the window
+    shape is static, so there is exactly one compile; update() cost is
+    a handful of fused MXU matmuls, microseconds on chip.
+  - The buffer lives on host as a numpy ring (telemetry arrives from
+    IO-land anyway); updates ship one (window, N, 25) block to device.
+  - Optimizer state persists across updates (plain Adam — plateau
+    scheduling is an offline-length concept), so adaptation composes
+    across windows like one long stream.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+import optax
+
+from ..core.params import RodParams
+from ..models.mlp import MLPSpec, init_mlp
+from .loss import DEFAULT_KEYPOINTS_FAST
+from .train import make_train_step
+
+__all__ = ["OnlineConfig", "OnlineAdapter"]
+
+
+@dataclasses.dataclass
+class OnlineConfig:
+    """Knobs for streaming adaptation (deliberately smaller than
+    TrainConfig: no eval loop, no plateau schedule, no checkpoint cadence
+    — the caller owns the outer loop)."""
+    window: int = 64            # ring-buffer length (time steps)
+    min_fill: int = 8           # steps required before update() trains
+    steps_per_update: int = 4   # optax steps per update() call
+    lr: float = 1e-3
+    # decoupled weight decay (AdamW). Online windows are small and the
+    # free-rollout stability of the hybrid depends on the residual staying
+    # small off-distribution; a little decay is the cheap regularizer.
+    weight_decay: float = 1e-4
+    hidden: int = 64
+    keypoints: Tuple[int, ...] = DEFAULT_KEYPOINTS_FAST
+    history: bool = False
+    activation: str = "elu"
+    clamp_weights: bool = True
+    seed: int = 0
+
+    def spec(self) -> MLPSpec:
+        return MLPSpec.for_knode(self.hidden, self.history, self.activation)
+
+
+class OnlineAdapter:
+    """Streaming KNODE residual learner over a sliding window.
+
+    >>> adapter = OnlineAdapter(model_rod, OnlineConfig())
+    >>> for record, u in telemetry:          # record: (N, >=25), u: (4,)
+    ...     adapter.observe(record, u)
+    ...     if adapter.ready:
+    ...         loss = adapter.update()
+    >>> controller.nn_params = adapter.params   # live MPC handoff
+
+    ``model_rod`` is the controller's (imperfect) physics; the residual
+    learns whatever the telemetry source (the real plant) does that the
+    model physics does not — the KNODE premise, applied online.
+    """
+
+    def __init__(self, p: RodParams, cfg: Optional[OnlineConfig] = None):
+        self.p = p
+        self.cfg = cfg = cfg or OnlineConfig()
+        if cfg.min_fill < 2:
+            raise ValueError("min_fill must be >= 2 (the loss needs one "
+                             "transition)")
+        if cfg.min_fill > cfg.window:
+            raise ValueError("min_fill cannot exceed window")
+        self.spec = cfg.spec()
+        self.params = init_mlp(self.spec, jax.random.PRNGKey(cfg.seed))
+        self._optimizer = (optax.adamw(cfg.lr,
+                                       weight_decay=cfg.weight_decay)
+                           if cfg.weight_decay else optax.adam(cfg.lr))
+        self.opt_state = self._optimizer.init(self.params)
+        self._step, self._loss_fn = make_train_step(
+            p, self.spec, self._optimizer, cfg.keypoints, cfg.clamp_weights)
+        N = int(p.N)
+        self._dtype = np.dtype(np.asarray(p.del_t).dtype)
+        self._traj = np.zeros((cfg.window, N, 25), self._dtype)
+        self._ctrl = np.zeros((cfg.window, 4), self._dtype)
+        self._head = 0              # next write slot
+        self._count = 0             # total observed (saturates at window)
+        self.updates = 0
+        self.last_loss: Optional[float] = None
+
+    # ----------------------------------------------------------- stream in
+
+    def observe(self, record: np.ndarray, control: np.ndarray) -> None:
+        """Append one telemetry step.
+
+        record: (N, >=25) full state [y(19), z(6), ...] — the leading 25
+          channels of the simulator's record rows, or realworld/estimate
+          output. Extra channels (yh/zh in 50-wide records) are ignored.
+        control: (4,) applied tendon tensions for this step.
+        """
+        rec = np.asarray(record, self._dtype)
+        if rec.ndim != 2 or rec.shape[0] != self._traj.shape[1] \
+                or rec.shape[1] < 25:
+            raise ValueError(f"record shape {rec.shape} incompatible with "
+                             f"(N={self._traj.shape[1]}, >=25)")
+        self._traj[self._head] = rec[:, :25]
+        self._ctrl[self._head] = np.asarray(control, self._dtype)
+        self._head = (self._head + 1) % self.cfg.window
+        self._count = min(self._count + 1, self.cfg.window)
+
+    @property
+    def ready(self) -> bool:
+        return self._count >= self.cfg.min_fill
+
+    def _ordered_window(self):
+        """Buffer contents oldest-first, padded BY REPEATING THE OLDEST
+        frame up to the static window length (a constant-state prefix is a
+        zero-information fixed point of the teacher-forced loss: predicted
+        next == current == target, matching the first-step self-prev quirk
+        physics_train.py:321-322) so the jitted step compiles once."""
+        W = self.cfg.window
+        if self._count < W:
+            t = self._traj[: self._count]
+            c = self._ctrl[: self._count]
+        else:
+            idx = (np.arange(W) + self._head) % W
+            t, c = self._traj[idx], self._ctrl[idx]
+        pad = W - t.shape[0]
+        if pad:
+            t = np.concatenate([np.repeat(t[:1], pad, axis=0), t], axis=0)
+            c = np.concatenate([np.repeat(c[:1], pad, axis=0), c], axis=0)
+        return t, c
+
+    # ----------------------------------------------------------- learn
+
+    def update(self) -> Optional[float]:
+        """Run cfg.steps_per_update optax steps on the current window.
+        Returns the last step's loss (None if the buffer is not ready).
+        The optimizer state carries over — successive updates behave like
+        one continuous training stream."""
+        if not self.ready:
+            return None
+        t, c = self._ordered_window()
+        trajs, ctrls = t[None], c[None]     # (1, W, N, 25), (1, W, 4)
+        for _ in range(self.cfg.steps_per_update):
+            self.params, self.opt_state, loss = self._step(
+                self.params, self.opt_state, trajs, ctrls)
+        self.updates += 1
+        self.last_loss = float(loss)
+        return self.last_loss
+
+    def window_loss(self) -> Optional[float]:
+        """Teacher-forced loss of the CURRENT weights on the current
+        window, without training (use physics_loss() for the no-NN
+        baseline)."""
+        if not self.ready:
+            return None
+        t, c = self._ordered_window()
+        return float(self._loss_fn(self.params, t[None], c[None]))
+
+    def physics_loss(self) -> Optional[float]:
+        """No-NN baseline loss on the current window — the number the
+        residual must beat (reference epoch-0 eval quirk analogue)."""
+        if not self.ready:
+            return None
+        t, c = self._ordered_window()
+        return float(self._loss_fn(None, t[None], c[None]))

@@ -1,0 +1,136 @@
+"""Online KNODE adaptation (training/online.py).
+
+The canonical KNODE experiment, run STREAMING: the plant is the true
+(experimental) rod, the adapter's model carries deliberately wrong
+physics (the reference's "damping" fault-injection mod, knode.py:22-47),
+and telemetry arrives one step at a time. The residual must (a) learn
+the window's dynamics far below the physics-only baseline and (b)
+improve the short-horizon predictions an MPC would consume — from true
+observed states, not the straight-rod start.
+
+Long free rollouts of online-adapted residuals can still diverge (the
+same hybrid-rollout fragility the offline pipeline's best-DTW selection
+exists for, physics_train.py:163-167); the contract here is the
+windowed/short-horizon one, which is what receding-horizon control
+needs.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu.controls import calc_controls
+from knode_cosserat_tpu.core.params import apply_mod
+from knode_cosserat_tpu.core.stepper import simulate_scan
+from knode_cosserat_tpu.training.online import OnlineAdapter, OnlineConfig
+
+T = 140
+
+
+@pytest.fixture(scope="module")
+def plant_stream():
+    """True-plant telemetry: (traj (T, N, 50), controls (T, 4))."""
+    plant = apply_mod(None)
+    ctl = calc_controls("sine", 0.5, float(plant.del_t), T)
+    traj = np.asarray(simulate_scan(plant, jnp.asarray(ctl)).traj)
+    return traj, ctl
+
+
+@pytest.fixture(scope="module")
+def adapted(plant_stream):
+    """Stream the whole run through the adapter (model = wrong physics)."""
+    traj, ctl = plant_stream
+    model = apply_mod("damping")
+    ad = OnlineAdapter(model, OnlineConfig(window=96, min_fill=16,
+                                           steps_per_update=4, lr=1e-3,
+                                           hidden=64, seed=0))
+    first = None
+    for t in range(T):
+        ad.observe(traj[t], ctl[t])
+        if ad.ready and t % 2 == 0:
+            loss = ad.update()
+            first = loss if first is None else first
+    return model, ad, first
+
+
+def test_buffer_mechanics():
+    model = apply_mod("damping")
+    ad = OnlineAdapter(model, OnlineConfig(window=8, min_fill=4))
+    rec = np.zeros((int(model.N), 25))
+    rec[:, 3] = 1.0                      # unit quaternion rows
+    assert ad.update() is None           # empty buffer
+    for i in range(3):
+        ad.observe(rec, np.zeros(4))
+    assert not ad.ready and ad.update() is None
+    ad.observe(rec, np.zeros(4))
+    assert ad.ready
+    # wraps past window without error; update returns a finite float
+    for i in range(10):
+        ad.observe(rec, np.zeros(4))
+    loss = ad.update()
+    assert np.isfinite(loss)
+    with pytest.raises(ValueError, match="record shape"):
+        ad.observe(np.zeros((3, 25)), np.zeros(4))
+    with pytest.raises(ValueError, match="min_fill"):
+        OnlineAdapter(model, OnlineConfig(window=4, min_fill=8))
+
+
+def test_streaming_adaptation_beats_physics(adapted):
+    """Windowed teacher-forced loss: adapted residual far below both the
+    no-NN baseline and its own first update."""
+    _, ad, first_loss = adapted
+    assert ad.updates >= 50
+    phys = ad.physics_loss()
+    win = ad.window_loss()
+    assert np.isfinite(win)
+    assert win < phys / 8.0, (win, phys)
+    assert win < first_loss / 2.0, (win, first_loss)
+
+
+def test_short_horizon_prediction_improves(adapted, plant_stream):
+    """H-step tip predictions from TRUE observed states (the quantity an
+    MPC consumes) must beat the wrong-physics model by a clear margin."""
+    from knode_cosserat_tpu.control.mpc import PlanState, rollout_tips
+
+    traj, ctl = plant_stream
+    model, ad, _ = adapted
+    H = 10
+
+    def horizon_err(params, spec):
+        errs = []
+        for t0 in (60, 100):
+            st = PlanState(jnp.asarray(traj[t0, :, :19]),
+                           jnp.asarray(traj[t0, :, 19:25]),
+                           jnp.asarray(traj[t0 - 1, :, :19]),
+                           jnp.asarray(traj[t0 - 1, :, 19:25]),
+                           jnp.zeros(6, model.dtype),
+                           jnp.zeros(6, model.dtype))
+            tips, _ = rollout_tips(model, st, jnp.asarray(ctl[t0:t0 + H]),
+                                   spec, params)
+            true = traj[t0 + 1:t0 + H + 1, -1, 0:3]
+            errs.append(np.sqrt(np.mean(
+                np.sum((np.asarray(tips) - true) ** 2, -1))))
+        return float(np.mean(errs))
+
+    e_phys = horizon_err(None, None)
+    e_hyb = horizon_err(ad.params, ad.spec)
+    assert np.isfinite(e_hyb)
+    assert e_hyb < e_phys / 3.0, (e_hyb, e_phys)
+
+
+def test_mpc_handoff_contract(adapted):
+    """The controller consumes adapter weights live: nn_params is a traced
+    argument of MPCController's advance step, so assigning
+    controller.nn_params takes effect without a retrace."""
+    from knode_cosserat_tpu.control import MPCController
+
+    model, ad, _ = adapted
+    ctl_r = MPCController(model, horizon=4, spec=ad.spec,
+                          nn_params=ad.params, first_iters=2,
+                          replan_iters=2)
+    tgt = np.tile(np.array([0.0, 0.0, float(model.L)]), (4, 1))
+    u0, info = ctl_r.act(tgt)
+    ctl_r.nn_params = ad.params          # live weight swap
+    u1, _ = ctl_r.act(tgt)
+    assert np.all(np.isfinite(np.asarray(u0)))
+    assert np.all(np.isfinite(np.asarray(u1)))
+    assert ctl_r._step._cache_size() == 1
