@@ -179,10 +179,14 @@ def cmd_simulate_assembly(args):
     import jax.numpy as jnp
 
     from .controls import calc_controls
-    from .core.assembly import make_ring_assembly, simulate_assembly
+    from .core.assembly import (make_ring_assembly, simulate_assembly,
+                                with_contact_plane)
 
     asm = make_ring_assembly(n_rods=args.rods, base_radius=args.base_radius,
                              plate_mass=args.plate_mass, N=args.nodes)
+    if args.contact_plane is not None:
+        nx, ny, nz, off = args.contact_plane
+        asm = with_contact_plane(asm, [nx, ny, nz], off)
     ctl1 = calc_controls(args.type, args.arg,
                          float(np.asarray(asm.rods.del_t)[0]), args.steps)
     controls = np.tile(np.asarray(ctl1)[:, None, :], (1, args.rods, 1))
@@ -518,6 +522,10 @@ def main(argv=None):
     sp.add_argument("--pull_rod", type=int, default=-1,
                     help="index of a rod to overpull (tendon 0)")
     sp.add_argument("--pull_extra", type=float, default=3.0)
+    sp.add_argument("--contact_plane", type=float, nargs=4, default=None,
+                    metavar=("NX", "NY", "NZ", "OFFSET"),
+                    help="rigid plane n.x = offset the plate can touch "
+                         "(smoothed penalty contact)")
     sp.add_argument("--save", type=str, default="data/assembly.npz")
     sp.set_defaults(fn=cmd_simulate_assembly)
 

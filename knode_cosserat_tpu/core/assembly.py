@@ -58,8 +58,8 @@ from .spatial import base_state, integrate_euler
 from ..ops.quaternion import quat_to_rotmat
 
 __all__ = ["PlateParams", "RodAssembly", "make_ring_assembly", "stack_rods",
-           "assembly_solve_step", "assembly_step_carry", "AssemblyCarry",
-           "simulate_assembly", "AssemblySimOutput"]
+           "with_contact_plane", "assembly_solve_step", "assembly_step_carry",
+           "AssemblyCarry", "simulate_assembly", "AssemblySimOutput"]
 
 
 # ------------------------------------------------------------ quaternions
@@ -97,14 +97,29 @@ class PlateParams:
       frame (identity when rods meet the plate squarely).
     mass/inertia: 0 / zeros(3,3) model a massless coupler (static plate
       equilibrium — the M=1 free-tip reduction).
+
+    Contact (``has_contact=True``): the plate can touch ONE rigid plane
+    n . x = c (``contact_plane`` = [n (unit), c]) through ``contact_points``
+    (Kc, 3, plate body frame). The model is a SMOOTHED penalty — normal
+    force k * softplus(-beta * gap) / beta plus approach-rate damping
+    gated by a sigmoid contact indicator — so every coupled Newton solve
+    (and its custom_root gradients) stays smooth; beta controls how sharp
+    the complementarity corner is. has_contact is STATIC: a contact-free
+    assembly compiles exactly the pre-contact program.
     """
-    __static_fields__ = ()
+    __static_fields__ = ("has_contact",)
 
     mass: Any
     inertia: Any            # (3, 3), plate body frame
     attach_offsets: Any     # (M, 3)
     attach_quats: Any       # (M, 4)
     g: Any                  # (3,) gravity (world)
+    contact_plane: Any = None     # (4,) [n_unit, c] with n . x = c
+    contact_points: Any = None    # (Kc, 3) plate body frame
+    contact_k: Any = None         # penalty stiffness (N/m per point)
+    contact_d: Any = None         # approach-rate damping (N s/m per point)
+    contact_beta: Any = None      # smoothing sharpness (1/m)
+    has_contact: bool = False
 
     def replace(self, **kw) -> "PlateParams":
         return dataclasses.replace(self, **kw)
@@ -196,6 +211,37 @@ def make_ring_assembly(
                        h_plate0=cast(np.array([1.0, 0.0, 0.0, 0.0])))
 
 
+def with_contact_plane(
+    asm: RodAssembly,
+    normal,
+    offset: float,
+    points=None,
+    k: float = 1e4,
+    d: float = 50.0,
+    beta: float = 2000.0,
+) -> RodAssembly:
+    """Attach a rigid contact plane n . x = offset to the assembly's plate.
+
+    points: (Kc, 3) contact points in the PLATE body frame; defaults to
+    the rod-attachment ring. k/d: penalty stiffness / approach damping
+    per point; beta: smoothing sharpness (1/m) — the complementarity
+    corner is rounded over ~1/beta of gap (see PlateParams docstring).
+    Returns a new assembly; the original is untouched.
+    """
+    dtype = asm.dtype
+    n = np.asarray(normal, np.float64)
+    n = n / np.linalg.norm(n)
+    pts = (asm.plate.attach_offsets if points is None
+           else jnp.asarray(points, dtype))
+    cast = lambda x: jnp.asarray(x, dtype)
+    plate = asm.plate.replace(
+        contact_plane=cast(np.concatenate([n, [float(offset)]])),
+        contact_points=cast(pts),
+        contact_k=cast(k), contact_d=cast(d), contact_beta=cast(beta),
+        has_contact=True)
+    return asm.replace(plate=plate)
+
+
 # --------------------------------------------------------------- solver
 
 def _sweep_all(rods: RodParams, G, yh, zh, tf, nn_fn, nn_history,
@@ -257,11 +303,37 @@ def _residual_algebra(asm: RodAssembly, tips, plate7, pph, vph, hph, wbh):
     wb = _body_angular_velocity(hp, hdot)
     wbdot = c0 * wb + wbh
 
-    # Newton: m*(ap - g) = sum of rod reactions (-n_tip); massless -> static
-    res_f = plate.mass * (ap - plate.g) + jnp.sum(n_tip, axis=0)
+    # smoothed plane contact (see PlateParams docstring): a penalty normal
+    # force + sigmoid-gated approach damping at each contact point. The
+    # BDF-2 vp/wb of the NEW step feed the damping, so contact is solved
+    # implicitly with everything else (no splitting, no restitution hacks).
+    f_contact = jnp.zeros(3, pp.dtype)
+    tau_contact = jnp.zeros(3, pp.dtype)
+    if plate.has_contact:
+        n = plate.contact_plane[:3]
+        off = plate.contact_plane[3]
+        beta = plate.contact_beta
+        r_w = jnp.einsum("ij,kj->ki", Rp, plate.contact_points)  # (Kc, 3)
+        gap = (pp[None, :] + r_w) @ n - off                      # (Kc,)
+        pen = jax.nn.softplus(-beta * gap) / beta                # ~max(0,-g)
+        act = jax.nn.sigmoid(-beta * gap)                        # in-contact
+        w_world = Rp @ wb
+        v_pt = vp[None, :] + jnp.cross(w_world[None, :], r_w)
+        gdot = v_pt @ n
+        fmag = (plate.contact_k * pen
+                + plate.contact_d * act * jax.nn.relu(-gdot))
+        f_i = fmag[:, None] * n[None, :]
+        f_contact = jnp.sum(f_i, axis=0)
+        tau_contact = jnp.sum(jnp.cross(r_w, f_i), axis=0)
+
+    # Newton: m*(ap - g) = sum of rod reactions (-n_tip) + contact;
+    # massless -> static
+    res_f = (plate.mass * (ap - plate.g) + jnp.sum(n_tip, axis=0)
+             - f_contact)
     # Euler (plate body frame): J wbdot + wb x J wb = Rp^T * sum of world
-    # torques about the plate COM from the rod reactions
-    torque_w = jnp.sum(jnp.cross(att_w, -n_tip) - m_tip, axis=0)
+    # torques about the plate COM from the rod reactions + contact
+    torque_w = (jnp.sum(jnp.cross(att_w, -n_tip) - m_tip, axis=0)
+                + tau_contact)
     Jw = plate.inertia @ wb
     res_m = plate.inertia @ wbdot + jnp.cross(wb, Jw) - Rp.T @ torque_w
 

@@ -251,3 +251,84 @@ def test_mismatched_rods_raise():
     from knode_cosserat_tpu.core.assembly import stack_rods
     with pytest.raises(ValueError):
         stack_rods([make_rod(N=10), make_rod(N=12)])
+
+
+# ---------------- plate contact (smoothed penalty plane) ----------------
+
+SOFT = dict(E=2.757903e9, r=0.003175, rho=1411.7, del_t=0.05, L=0.635,
+            tendon_offset=0.04445)
+
+
+@pytest.fixture(scope="module")
+def contact_setup():
+    """Soft 2-rod ring bent sideways by tension: free swing + wall data."""
+    from knode_cosserat_tpu.core.assembly import with_contact_plane
+    asm = make_ring_assembly(n_rods=2, base_radius=0.04, N=8,
+                             dtype=jnp.float64, plate_mass=0.05, **SOFT)
+    Tc = 24
+    ctl = np.zeros((Tc, 2, 4))
+    ctl[:, :, 0] = 6.0
+    ctl[:, :, 1] = 6.0                      # net +y body force
+    ctl = jnp.asarray(ctl)
+    free = simulate_assembly(asm, ctl, tol=1e-18)
+    y_free = np.asarray(free.plate_pose)[:, 1]
+    wall = 0.5 * float(y_free.max())
+    blocked = with_contact_plane(asm, [0.0, -1.0, 0.0], -wall,
+                                 k=2e4, d=50.0, beta=3000.0)
+    return asm, blocked, ctl, free, wall
+
+
+def test_contact_far_plane_is_exactly_no_contact(contact_setup):
+    """A plane the plate never approaches must not perturb the solve at
+    all (the softplus tail underflows): bit-level parity."""
+    from knode_cosserat_tpu.core.assembly import with_contact_plane
+    asm, _, ctl, free, _ = contact_setup
+    far = with_contact_plane(asm, [0.0, -1.0, 0.0], -10.0,
+                             k=2e4, d=50.0, beta=3000.0)
+    out = simulate_assembly(far, ctl, tol=1e-18)
+    assert np.max(np.abs(np.asarray(out.plate_pose)
+                         - np.asarray(free.plate_pose))) == 0.0
+    assert np.max(np.abs(np.asarray(out.traj)
+                         - np.asarray(free.traj))) == 0.0
+
+
+def test_contact_wall_stops_the_plate(contact_setup):
+    """The free swing crosses the wall; with contact on, the plate must
+    stop at it — no penetration beyond the smoothing scale, and it ends
+    up pressed near the wall rather than bouncing away."""
+    _, blocked, ctl, free, wall = contact_setup
+    y_free = np.asarray(free.plate_pose)[:, 1]
+    assert y_free.max() > 1.8 * wall        # it WOULD cross without contact
+    out = simulate_assembly(blocked, ctl, tol=1e-18)
+    assert np.isfinite(np.asarray(out.traj)).all()
+    assert np.asarray(out.residual_norm).max() < 1e-7
+    y = np.asarray(out.plate_pose)[:, 1]
+    # penetration bounded by the penalty scale (k=2e4, beta=3e3: <0.5 mm)
+    assert y.max() < wall + 5e-4, (y.max(), wall)
+    # and the plate is actually AT the wall at the end (within ~2 mm)
+    assert abs(y[-1] - wall) < 2e-3, (y[-1], wall)
+
+
+def test_contact_gradients_flow(contact_setup):
+    """differentiable=True composes with active contact: d(final plate y)
+    / d(tension) is finite and nonzero THROUGH the contact force."""
+    _, blocked, ctl, _, _ = contact_setup
+
+    def final_y(scale):
+        out = simulate_assembly(blocked, scale * ctl, tol=1e-10,
+                                differentiable=True)
+        return out.plate_pose[-1, 1]
+
+    g = jax.grad(final_y)(jnp.asarray(1.0, jnp.float64))
+    assert np.isfinite(float(g))
+    assert abs(float(g)) > 0.0
+
+
+def test_contact_structured_solver_matches_dense(contact_setup):
+    """The contact wrench lives in the residual ALGEBRA, so the arrowhead
+    (structured) Jacobian must see it identically to dense jacfwd."""
+    _, blocked, ctl, _, _ = contact_setup
+    a = simulate_assembly(blocked, ctl[:10], tol=1e-18, solver="dense")
+    b = simulate_assembly(blocked, ctl[:10], tol=1e-18, solver="structured")
+    assert np.max(np.abs(np.asarray(a.plate_pose)
+                         - np.asarray(b.plate_pose))) < 1e-9
