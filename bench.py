@@ -120,18 +120,25 @@ def _peak_flops(device) -> float:
     return 197e12
 
 
-def _timeit(fn, *args, iters=5):
+def _timeit(fn, *args, iters=5, windows=3):
+    """Best-of-``windows`` averaged timing windows (after one compile/
+    warmup call). The tunneled chip occasionally stalls a single window;
+    min-of-windows reports steady-state throughput instead of the stall
+    (the headline trainer metric already does the same)."""
     import jax
     import time as _t
     t0 = _t.perf_counter()
     out = fn(*args)
     jax.block_until_ready(out)
     compile_s = _t.perf_counter() - t0
-    t0 = _t.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (_t.perf_counter() - t0) / iters, compile_s
+    best = float("inf")
+    for _ in range(windows):
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, (_t.perf_counter() - t0) / iters)
+    return best, compile_s
 
 
 def measure_extras(ref, golden_trajs, golden_ctls):

@@ -383,14 +383,19 @@ def cmd_train_real(args):
 
 
 def machine_fingerprint() -> str:
-    """Short hash of the host CPU identity (arch + /proc/cpuinfo flags).
+    """Short hash of the host CPU identity (arch + model name + flags).
 
     XLA:CPU persistent-cache entries embed AOT machine code for the
     COMPILING host's CPU features; JAX's cache key does not include them,
-    so replaying a cache dir on a host with fewer features (e.g. after a
-    VM migration) SIGSEGVs/SIGILLs inside the deserialized executable.
-    Scoping the cache dir by this fingerprint makes foreign entries
-    unreachable instead of fatal."""
+    so replaying a cache dir on a different host (e.g. after a VM
+    migration) SIGSEGVs/SIGILLs inside the deserialized executable.
+    The MODEL NAME matters, not just the feature flags: XLA derives
+    per-microarchitecture tuning features (+prefer-no-scatter,
+    +prefer-no-gather, amx variants) from the CPU model, and two hosts
+    with identical cpuinfo flags but different models produce
+    incompatible AOT results (observed as cpu_aot_loader feature-
+    mismatch errors). Scoping the cache dir by this fingerprint makes
+    foreign entries unreachable instead of fatal."""
     import hashlib
     import platform
 
@@ -398,9 +403,12 @@ def machine_fingerprint() -> str:
     try:
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.lower().startswith(("flags", "features")):
+                low = line.lower()
+                if low.startswith(("flags", "features", "model name",
+                                   "hardware", "cpu part")):
                     txt += line
-                    break
+                if low.startswith("processor") and ": 1" in line:
+                    break       # first core only — all cores identical
     except OSError:
         txt += platform.processor() or ""
     return hashlib.sha256(txt.encode()).hexdigest()[:12]

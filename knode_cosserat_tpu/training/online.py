@@ -16,9 +16,10 @@ improves while it runs — continual "learning on the robot" that the
 reference architecture cannot express.
 
 Design notes (TPU-first):
-  - The update step is ONE jitted program reused forever: the window
-    shape is static, so there is exactly one compile; update() cost is
-    a handful of fused MXU matmuls, microseconds on chip.
+  - The update step is ONE jitted program reused forever: window sizes
+    are bucketed (powers of two from min_fill up to window), so at most
+    a handful of compiles ever happen and a steady-state stream reuses
+    one; update() cost is a few fused MXU matmuls, microseconds on chip.
   - The buffer lives on host as a numpy ring (telemetry arrives from
     IO-land anyway); updates ship one (window, N, 25) block to device.
   - Optimizer state persists across updates (plain Adam — plateau
@@ -130,23 +131,30 @@ class OnlineAdapter:
     def ready(self) -> bool:
         return self._count >= self.cfg.min_fill
 
+    def _bucket(self) -> int:
+        """Largest power-of-two multiple of min_fill that fits the current
+        fill (capped at window). Bucketing keeps the jitted step's shapes
+        static (one compile per bucket ever reached, a handful total)
+        WITHOUT fabricating transitions: padding by repeating a frame
+        would teach the residual "this mid-swing state stays put" — wrong
+        physics — on every padded row."""
+        if self._count >= self.cfg.window:
+            return self.cfg.window
+        b = self.cfg.min_fill
+        while b * 2 <= self._count:
+            b *= 2
+        return min(b, self.cfg.window)
+
     def _ordered_window(self):
-        """Buffer contents oldest-first, padded BY REPEATING THE OLDEST
-        frame up to the static window length (a constant-state prefix is a
-        zero-information fixed point of the teacher-forced loss: predicted
-        next == current == target, matching the first-step self-prev quirk
-        physics_train.py:321-322) so the jitted step compiles once."""
+        """The most recent ``_bucket()`` frames, oldest-first."""
         W = self.cfg.window
+        b = self._bucket()
         if self._count < W:
-            t = self._traj[: self._count]
-            c = self._ctrl[: self._count]
+            t = self._traj[self._count - b: self._count]
+            c = self._ctrl[self._count - b: self._count]
         else:
-            idx = (np.arange(W) + self._head) % W
+            idx = (np.arange(W - b, W) + self._head) % W
             t, c = self._traj[idx], self._ctrl[idx]
-        pad = W - t.shape[0]
-        if pad:
-            t = np.concatenate([np.repeat(t[:1], pad, axis=0), t], axis=0)
-            c = np.concatenate([np.repeat(c[:1], pad, axis=0), c], axis=0)
         return t, c
 
     # ----------------------------------------------------------- learn

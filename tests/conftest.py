@@ -28,48 +28,27 @@ if _TEST_PLATFORM == "cpu":
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 # Persistent compilation cache: this box has a single CPU core, so XLA
 # compiles dominate the suite's wall clock. Caching compiled executables
 # across runs cuts repeat runs severalfold (first run populates). The dir
-# is scoped by a host-CPU fingerprint: XLA:CPU cache entries embed AOT
-# machine code for the compiling host's CPU features, and replaying them
-# after a VM migration SIGSEGVs (observed: avx512 entries on an avx2-only
-# host crashed mid-suite in compilation_cache.get_executable_and_time).
-# Self-contained copy of cli.machine_fingerprint() — conftest must not
-# import the package before the platform pin above.
-
-
-def _machine_tag():
-    import hashlib
-    import platform
-
-    txt = platform.machine()
-    try:
-        with open("/proc/cpuinfo") as f:
-            for line in f:
-                if line.lower().startswith(("flags", "features")):
-                    txt += line
-                    break
-    except OSError:
-        txt += platform.processor() or ""
-    return hashlib.sha256(txt.encode()).hexdigest()[:12]
-
+# is scoped by a host-CPU fingerprint (arch + model name + flags):
+# XLA:CPU cache entries embed AOT machine code tuned to the COMPILING
+# host's CPU model, and replaying them after a VM migration SIGSEGVs
+# (observed mid-suite in compilation_cache.get_executable_and_time; see
+# cli.machine_fingerprint's docstring). Writes are additionally made
+# atomic so concurrent processes sharing the dir can't read half-written
+# entries. Importing the package here is safe: the platform pin above
+# already happened, and importing does not initialize a backend.
+from knode_cosserat_tpu.cli import (install_atomic_cache_writes,
+                                    machine_fingerprint)
 
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), ".jax_cache", _machine_tag())
+    os.path.abspath(__file__))), ".jax_cache", machine_fingerprint())
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-# Concurrent pytest processes share the cache dir; JAX's stock put()
-# writes straight to the final path, so a parallel reader can deserialize
-# a half-written entry and SIGSEGV (observed). Safe to import the package
-# here: the platform pin above already happened, and importing does not
-# initialize a backend.
-from knode_cosserat_tpu.cli import install_atomic_cache_writes
-
 install_atomic_cache_writes()
 
 import numpy as np

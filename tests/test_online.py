@@ -74,6 +74,38 @@ def test_buffer_mechanics():
         OnlineAdapter(model, OnlineConfig(window=4, min_fill=8))
 
 
+def test_window_buckets_use_only_real_frames():
+    """Partial fills must train on the most recent bucket of REAL frames
+    — padding by repeating a frame would fabricate 'this mid-swing state
+    stays put' transitions. Buckets are powers of two from min_fill, the
+    full window once filled."""
+    model = apply_mod("damping")
+    N = int(model.N)
+    ad = OnlineAdapter(model, OnlineConfig(window=12, min_fill=4))
+
+    def rec(i):
+        r = np.zeros((N, 25))
+        r[:, 3] = 1.0
+        r[:, 0] = i            # stamp the frame index into x
+        return r
+
+    for i in range(5):
+        ad.observe(rec(i), np.zeros(4))
+    t, _ = ad._ordered_window()            # count=5 -> bucket 4
+    assert t.shape[0] == 4
+    np.testing.assert_array_equal(t[:, 0, 0], [1, 2, 3, 4])
+    for i in range(5, 9):
+        ad.observe(rec(i), np.zeros(4))
+    t, _ = ad._ordered_window()            # count=9 -> bucket 8
+    assert t.shape[0] == 8
+    np.testing.assert_array_equal(t[:, 0, 0], np.arange(1, 9))
+    for i in range(9, 30):
+        ad.observe(rec(i), np.zeros(4))
+    t, _ = ad._ordered_window()            # full ring -> whole window
+    assert t.shape[0] == 12
+    np.testing.assert_array_equal(t[:, 0, 0], np.arange(18, 30))
+
+
 def test_streaming_adaptation_beats_physics(adapted):
     """Windowed teacher-forced loss: adapted residual far below both the
     no-NN baseline and its own first update."""
@@ -82,7 +114,9 @@ def test_streaming_adaptation_beats_physics(adapted):
     phys = ad.physics_loss()
     win = ad.window_loss()
     assert np.isfinite(win)
-    assert win < phys / 8.0, (win, phys)
+    # clean-data buckets (no fabricated padding transitions) land ~6x
+    # under the physics baseline on this short stream; 4x is the margin
+    assert win < phys / 4.0, (win, phys)
     assert win < first_loss / 2.0, (win, first_loss)
 
 
