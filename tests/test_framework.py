@@ -270,6 +270,36 @@ def test_cli_simulate(tmp_path, argv):
     assert (tmp_path / "out.npz").exists()
 
 
+def test_cli_simulate_rejects_conflicting_solver_flags(tmp_path):
+    """--segments with --model or --fast used to be silently ignored by
+    the elif dispatch; now it must refuse with an explanation."""
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    for extra in (["--model", "x.npz", "--segments", "3"],
+                  ["--fast", "--segments", "3"]):
+        out = subprocess.run(
+            [sys.executable, "-m", "knode_cosserat_tpu", "simulate",
+             "--type", "sine", "--arg", "1.0", "--steps", "5", *extra,
+             "--save", str(tmp_path / "out.npz")],
+            capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+        assert out.returncode != 0
+        assert "--segments" in out.stderr
+
+
+def test_cli_simulate_assembly_contact_plane(tmp_path):
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "simulate-assembly",
+         "--rods", "2", "--nodes", "6", "--steps", "4",
+         "--contact_plane", "0", "-1", "0", "-0.2",
+         "--save", str(tmp_path / "asm.npz")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    data = np.load(tmp_path / "asm.npz")
+    assert np.isfinite(data["plate_pose"]).all()
+
+
 def test_cli_train_tiny(tmp_path):
     env = dict(os.environ)
     env["KNODE_PLATFORM"] = "cpu"
