@@ -230,7 +230,12 @@ def with_contact_plane(
     """
     dtype = asm.dtype
     n = np.asarray(normal, np.float64)
-    n = n / np.linalg.norm(n)
+    norm = np.linalg.norm(n)
+    if n.shape != (3,) or not np.isfinite(norm) or norm < 1e-12:
+        raise ValueError(f"contact plane normal {normal!r} must be a "
+                         "finite nonzero 3-vector (a zero normal would "
+                         "silently poison the solve with NaNs)")
+    n = n / norm
     pts = (asm.plate.attach_offsets if points is None
            else jnp.asarray(points, dtype))
     cast = lambda x: jnp.asarray(x, dtype)

@@ -96,16 +96,24 @@ def teacher_forced_loss(
     controls: jnp.ndarray,
     keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
     fused_fn=None,
+    skip_first: bool = False,
 ) -> jnp.ndarray:
     """Scalar loss for one trajectory; vmap over a leading trajectory axis
     and sum for the multi-trajectory total (physics_train.py:313-366).
 
     fused_fn: optional Pallas fused RHS (ops.pallas_rhs.
-    make_fused_next_segment) used in place of the XLA path."""
+    make_fused_next_segment) used in place of the XLA path.
+    skip_first: drop the first transition from the loss. The first step's
+    BDF-2 history uses the frame as its own predecessor (the reference
+    quirk, physics_train.py:321-322) — exact when traj[0] is the at-rest
+    initial state (offline training), fabricated when the trajectory is a
+    sliding window starting mid-motion (online adaptation)."""
     kp = jnp.asarray(keypoints)
     y_grown, z_new = grow_predictions(p, spec, nn_params, traj, controls,
                                       keypoints, fused_fn=fused_fn)
     target = traj[1:]                       # (T-1, N, 25)
+    if skip_first:
+        y_grown, z_new, target = y_grown[1:], z_new[1:], target[1:]
     tgt_y = target[:, kp, :19]              # (T-1, K, 19)
     tgt_z = target[:, kp - 1, 19:]          # (T-1, K, 6) — kp-1 indexing
 

@@ -85,23 +85,33 @@ class OnlineAdapter:
     def __init__(self, p: RodParams, cfg: Optional[OnlineConfig] = None):
         self.p = p
         self.cfg = cfg = cfg or OnlineConfig()
-        if cfg.min_fill < 2:
-            raise ValueError("min_fill must be >= 2 (the loss needs one "
-                             "transition)")
+        if cfg.min_fill < 3:
+            raise ValueError("min_fill must be >= 3 (the first transition "
+                             "is dropped — see skip_first — so the loss "
+                             "needs at least two)")
         if cfg.min_fill > cfg.window:
             raise ValueError("min_fill cannot exceed window")
+        if cfg.steps_per_update < 1:
+            raise ValueError("steps_per_update must be >= 1")
         self.spec = cfg.spec()
         self.params = init_mlp(self.spec, jax.random.PRNGKey(cfg.seed))
         self._optimizer = (optax.adamw(cfg.lr,
                                        weight_decay=cfg.weight_decay)
                            if cfg.weight_decay else optax.adam(cfg.lr))
         self.opt_state = self._optimizer.init(self.params)
-        self._step, self._loss_fn = make_train_step(
-            p, self.spec, self._optimizer, cfg.keypoints, cfg.clamp_weights)
+        # skip_first: the loss's first transition runs on a fabricated
+        # self-prev BDF-2 history — exact for an at-rest traj[0] (offline),
+        # wrong for a sliding window starting mid-motion. Drop it; every
+        # trained transition then carries a true two-frame history.
+        self._step, loss_fn = make_train_step(
+            p, self.spec, self._optimizer, cfg.keypoints, cfg.clamp_weights,
+            skip_first=True)
+        self._loss_fn = jax.jit(loss_fn)   # diagnostics reuse the trace
         N = int(p.N)
+        self._n_tendons = int(getattr(p, "n_tendons", 4))
         self._dtype = np.dtype(np.asarray(p.del_t).dtype)
         self._traj = np.zeros((cfg.window, N, 25), self._dtype)
-        self._ctrl = np.zeros((cfg.window, 4), self._dtype)
+        self._ctrl = np.zeros((cfg.window, self._n_tendons), self._dtype)
         self._head = 0              # next write slot
         self._count = 0             # total observed (saturates at window)
         self.updates = 0
@@ -115,15 +125,20 @@ class OnlineAdapter:
         record: (N, >=25) full state [y(19), z(6), ...] — the leading 25
           channels of the simulator's record rows, or realworld/estimate
           output. Extra channels (yh/zh in 50-wide records) are ignored.
-        control: (4,) applied tendon tensions for this step.
+        control: (n_tendons,) applied tendon tensions for this step.
         """
         rec = np.asarray(record, self._dtype)
         if rec.ndim != 2 or rec.shape[0] != self._traj.shape[1] \
                 or rec.shape[1] < 25:
             raise ValueError(f"record shape {rec.shape} incompatible with "
                              f"(N={self._traj.shape[1]}, >=25)")
+        u = np.asarray(control, self._dtype)
+        if u.shape != (self._n_tendons,):
+            raise ValueError(f"control shape {u.shape} != "
+                             f"({self._n_tendons},) — a scalar would "
+                             "silently broadcast into every tendon slot")
         self._traj[self._head] = rec[:, :25]
-        self._ctrl[self._head] = np.asarray(control, self._dtype)
+        self._ctrl[self._head] = u
         self._head = (self._head + 1) % self.cfg.window
         self._count = min(self._count + 1, self.cfg.window)
 

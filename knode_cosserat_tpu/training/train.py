@@ -136,14 +136,17 @@ def make_optimizer(cfg: TrainConfig):
 
 def make_train_step(p: RodParams, spec: MLPSpec, optimizer,
                     keypoints: Sequence[int], clamp: bool,
-                    use_pallas: bool = False):
+                    use_pallas: bool = False, skip_first: bool = False):
     """Build the jitted (params, opt_state, trajs, controls) -> ... step.
 
     trajs: (n_traj, T, N, 25); controls: (n_traj, T, 4). The per-trajectory
     losses are summed, matching the reference accumulation
     (physics_train.py:313-365). use_pallas routes the teacher-forced RHS
     through the fused Pallas kernel (trajectories unrolled statically —
-    pallas_call composes with the kernel's custom VJP, not with vmap)."""
+    pallas_call composes with the kernel's custom VJP, not with vmap).
+    skip_first drops each trajectory's first (self-prev-history)
+    transition — see teacher_forced_loss; used by the online adapter
+    whose windows start mid-motion."""
     kp = tuple(keypoints)
     fused_fn = None
     if use_pallas:
@@ -154,10 +157,12 @@ def make_train_step(p: RodParams, spec: MLPSpec, optimizer,
         if fused_fn is not None:
             return sum(
                 teacher_forced_loss(p, spec, params, trajs[i], controls[i],
-                                    kp, fused_fn=fused_fn)
+                                    kp, fused_fn=fused_fn,
+                                    skip_first=skip_first)
                 for i in range(trajs.shape[0]))
         per = jax.vmap(
-            lambda t, c: teacher_forced_loss(p, spec, params, t, c, kp)
+            lambda t, c: teacher_forced_loss(p, spec, params, t, c, kp,
+                                             skip_first=skip_first)
         )(trajs, controls)
         return jnp.sum(per)
 

@@ -74,6 +74,46 @@ def test_buffer_mechanics():
         OnlineAdapter(model, OnlineConfig(window=4, min_fill=8))
 
 
+def test_skip_first_drops_the_fabricated_history_transition(plant_stream):
+    """A sliding window's first transition runs on a self-prev BDF-2
+    history (the reference's at-rest quirk) — fabricated mid-motion. On
+    self-consistent telemetry with the TRUE rod, every true-history
+    transition reproduces exactly (physics loss ~ 0); the fabricated one
+    does not. skip_first must remove exactly that contamination."""
+    from knode_cosserat_tpu.training.loss import teacher_forced_loss
+    traj, ctl = plant_stream
+    plant = apply_mod(None)
+    spec = OnlineConfig().spec()
+    w = jnp.asarray(traj[60:92, :, :25])      # mid-stream window
+    c = jnp.asarray(ctl[60:92])
+    dirty = float(teacher_forced_loss(plant, spec, None, w, c))
+    clean = float(teacher_forced_loss(plant, spec, None, w, c,
+                                      skip_first=True))
+    assert clean < 1e-12, clean               # true histories: exact
+    assert dirty > 1e3 * max(clean, 1e-30)    # fabricated one dominates
+
+
+def test_config_and_input_validation():
+    model = apply_mod("damping")
+    with pytest.raises(ValueError, match="steps_per_update"):
+        OnlineAdapter(model, OnlineConfig(steps_per_update=0))
+    ad = OnlineAdapter(model, OnlineConfig(window=8, min_fill=4))
+    rec = np.zeros((int(model.N), 25))
+    rec[:, 3] = 1.0
+    with pytest.raises(ValueError, match="control shape"):
+        ad.observe(rec, 5.0)                  # scalar would broadcast
+    with pytest.raises(ValueError, match="control shape"):
+        ad.observe(rec, np.zeros(3))
+
+
+def test_contact_plane_rejects_zero_normal():
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  with_contact_plane)
+    asm = make_ring_assembly(n_rods=2, N=6, dtype=jnp.float64)
+    with pytest.raises(ValueError, match="normal"):
+        with_contact_plane(asm, [0.0, 0.0, 0.0], -0.2)
+
+
 def test_window_buckets_use_only_real_frames():
     """Partial fills must train on the most recent bucket of REAL frames
     — padding by repeating a frame would fabricate 'this mid-swing state
