@@ -204,6 +204,19 @@ def measure_extras(ref, golden_trajs, golden_ctls):
         dt, _ = _timeit(arun, actl)
         extras["assembly_steps_per_sec_3rods"] = round((T - 1) / dt)
 
+        # batched assemblies: the MPC/planning workload (many candidate
+        # tension schedules through the coupled solve at once) — vmap
+        # turns the latency-bound 25-dim Newton into throughput
+        # (measured 29x from B=1 to B=256, docs/BENCHMARKS.md)
+        Ba = 256
+        bctl = 5.0 + jax.random.uniform(jax.random.PRNGKey(0),
+                                        (Ba, T, 3, 4), jnp.float32)
+        brun = jax.jit(jax.vmap(
+            lambda c: simulate_assembly(asm, c, tol=1e-8).plate_pose))
+        dt, _ = _timeit(brun, bctl)
+        extras["assembly_batched_steps_per_sec_b256"] = round(
+            Ba * (T - 1) / dt)
+
     # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
     from knode_cosserat_tpu.serving import CompiledStepper
     stepper = CompiledStepper(p10, fast=not on_cpu)
