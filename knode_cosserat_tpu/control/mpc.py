@@ -39,8 +39,8 @@ from ..core.spatial import integrate_euler, tip_residual
 from ..core.stepper import initial_state
 from ..models.mlp import MLPSpec, bind
 
-__all__ = ["PlanState", "PlanResult", "make_planner", "MPCController",
-           "rollout_tips"]
+__all__ = ["PlanState", "PlanResult", "make_planner",
+           "make_multistart_planner", "MPCController", "rollout_tips"]
 
 
 class PlanState(NamedTuple):
@@ -170,6 +170,42 @@ def make_planner(
                                tol=tol, max_iter=max_iter)
         final_cost = cost_fn(logits, state, target, nn_params, u_last)
         return PlanResult(u, logits, final_cost, costs, tips)
+
+    return plan
+
+
+def make_multistart_planner(p: RodParams, horizon: int,
+                            restarts: int = 8, init_scale: float = 2.0,
+                            **kw) -> Callable[..., PlanResult]:
+    """Multi-start variant of make_planner: ``restarts`` independent Adam
+    descents from randomized logit inits run as ONE vmapped program (the
+    rollouts batch onto the device — measured 29x throughput from B=1 to
+    B=256 on the coupled solves, docs/BENCHMARKS.md), and the best final
+    cost wins. Escapes the local minima a single warm start can fall
+    into when the target track is far from mid-range tensions.
+
+    Returns ``plan(state, target_tips, key, logits_init=None,
+    nn_params=None, u_last=None) -> PlanResult`` (the WINNING restart's
+    result). ``logits_init`` seeds restart 0 (the receding-horizon warm
+    start); the rest perturb it by ``init_scale``-scaled normal noise.
+    """
+    single = make_planner(p, horizon, **kw)
+    n_tendons = 4
+
+    @jax.jit
+    def plan(state: PlanState, target_tips, key, logits_init=None,
+             nn_params=None, u_last=None) -> PlanResult:
+        if logits_init is None:
+            logits_init = jnp.zeros((horizon, n_tendons), p.dtype)
+        noise = init_scale * jax.random.normal(
+            key, (restarts - 1, horizon, n_tendons), p.dtype)
+        inits = jnp.concatenate([logits_init[None],
+                                 logits_init[None] + noise], axis=0)
+        results = jax.vmap(
+            lambda li: single(state, target_tips, li, nn_params, u_last)
+        )(inits)
+        best = jnp.argmin(results.cost)
+        return jax.tree.map(lambda x: x[best], results)
 
     return plan
 

@@ -63,6 +63,25 @@ def test_planner_recovers_reachable_target(rod, target):
     assert u.min() >= 0.0 and u.max() <= 20.0
 
 
+def test_multistart_planner_never_loses_to_single(rod, target):
+    """Restart 0 of the multi-start planner IS the single warm start, so
+    the winning restart's cost can never exceed the single plan's; the
+    result keeps the single-plan shape contract (one schedule, not R)."""
+    from knode_cosserat_tpu.control import make_multistart_planner
+
+    _, tips_t = target
+    kw = dict(opt_iters=30, opt_lr=0.4, u_max=20.0, w_du=0.0)
+    single = make_planner(rod, H, **kw)
+    multi = make_multistart_planner(rod, H, restarts=4, **kw)
+    r1 = single(PlanState.initial(rod), tips_t)
+    rm = multi(PlanState.initial(rod), tips_t, jax.random.PRNGKey(0))
+    assert rm.tensions.shape == (H, 4)
+    assert rm.tips.shape == (H, 3)
+    assert np.isfinite(float(rm.cost))
+    assert float(rm.cost) <= float(r1.cost) * (1 + 1e-6), \
+        (float(rm.cost), float(r1.cost))
+
+
 def test_controller_advance_step_is_cached(rod, target):
     """act() must reuse ONE compiled advance step: a fresh jit(partial)
     per call (the old code) missed the trace cache every time and
