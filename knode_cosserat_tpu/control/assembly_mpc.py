@@ -37,7 +37,7 @@ from ..core.assembly import (AssemblyCarry, RodAssembly, _quat_conj,
                              _quat_mul, assembly_step_carry)
 
 __all__ = ["AssemblyPlanResult", "rollout_plate", "make_assembly_planner",
-           "AssemblyMPCController"]
+           "make_multistart_assembly_planner", "AssemblyMPCController"]
 
 
 class AssemblyPlanResult(NamedTuple):
@@ -157,6 +157,45 @@ def make_assembly_planner(
         final_cost = cost_fn(logits, carry, target_pos, target_quat,
                              nn_params, u_last)
         return AssemblyPlanResult(u, logits, final_cost, costs, plates)
+
+    return plan
+
+
+def make_multistart_assembly_planner(asm: RodAssembly, horizon: int,
+                                     nn_spec=None, restarts: int = 8,
+                                     init_scale: float = 2.0,
+                                     **kw) -> Callable[..., AssemblyPlanResult]:
+    """Multi-start variant of make_assembly_planner (the assembly analogue
+    of control/mpc.make_multistart_planner): ``restarts`` independent Adam
+    descents from randomized logit inits run as ONE vmapped program —
+    exactly the batched-coupled-solve workload that pays 29x on TPU
+    (docs/BENCHMARKS.md "Batched assemblies") — and the best final cost
+    wins. Restart 0 seeds from ``logits_init`` (the receding-horizon warm
+    start), so the result can never be worse than the single plan.
+
+    Returns ``plan(carry, target_pos, key, target_quat=None,
+    logits_init=None, nn_params=None, u_last=None)``.
+    """
+    single = make_assembly_planner(asm, horizon, nn_spec, **kw)
+    M = asm.M
+    n_t = int(asm.rods.n_tendons)
+
+    @jax.jit
+    def plan(carry: AssemblyCarry, target_pos, key, target_quat=None,
+             logits_init=None, nn_params=None,
+             u_last=None) -> AssemblyPlanResult:
+        if logits_init is None:
+            logits_init = jnp.zeros((horizon, M, n_t), asm.dtype)
+        noise = init_scale * jax.random.normal(
+            key, (restarts - 1, horizon, M, n_t), asm.dtype)
+        inits = jnp.concatenate([logits_init[None],
+                                 logits_init[None] + noise], axis=0)
+        results = jax.vmap(
+            lambda li: single(carry, target_pos, target_quat, li,
+                              nn_params, u_last)
+        )(inits)
+        best = jnp.argmin(results.cost)
+        return jax.tree.map(lambda x: x[best], results)
 
     return plan
 

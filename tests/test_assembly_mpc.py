@@ -96,6 +96,23 @@ def test_orientation_tracking_term(asm, target):
     assert costs[-1] < costs[0] / 3.0
 
 
+def test_multistart_assembly_planner_never_loses(asm, target):
+    """Restart 0 IS the single warm start — the winning restart cannot
+    cost more; the result keeps the single-plan shape contract."""
+    from knode_cosserat_tpu.control import make_multistart_assembly_planner
+
+    _, plates_t = target
+    kw = dict(opt_iters=15, opt_lr=0.4, u_max=20.0, w_du=0.0)
+    single = make_assembly_planner(asm, H, **kw)
+    multi = make_multistart_assembly_planner(asm, H, restarts=3, **kw)
+    r1 = single(AssemblyCarry.initial(asm), plates_t[:, :3])
+    rm = multi(AssemblyCarry.initial(asm), plates_t[:, :3],
+               jax.random.PRNGKey(0))
+    assert rm.tensions.shape == r1.tensions.shape
+    assert np.isfinite(float(rm.cost))
+    assert float(rm.cost) <= float(r1.cost) * (1 + 1e-6)
+
+
 @pytest.mark.slow
 def test_receding_horizon_controller(asm, target):
     """Closed loop: the controller's model plate converges to a fixed
