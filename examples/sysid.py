@@ -1,0 +1,68 @@
+"""Example: gradient-based system identification of physical rod
+parameters through the differentiable core.
+
+The reference's answer to wrong physics is the KNODE residual: the mods
+registry injects a faulted parameter (knode.py:22-47) and an MLP learns
+the gap (physics_train.py). The rebuild's derived terms are traceable
+(core/params.derive_traced), so the faulted parameter itself is
+recoverable by gradient descent — no neural network required:
+
+  plant (true rod)  --> observed trajectory
+  model (faulted "youngs" mod: E = 10 GPa vs true 2.758 GPa)
+       --> Adam on log E through the teacher-forced one-step loss
+           (the same objective the KNODE trainer minimizes)
+       --> E recovered to <1%
+
+A second fit recovers the "damping" fault (Bbt 0.2 vs true 0.03)
+through the FULL implicit BDF-2 rollout — gradients flow through every
+Newton shooting solve via lax.custom_root.
+
+Run: python examples/sysid.py   (CPU or TPU; CLI: `knode sysid`)
+"""
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    from knode_cosserat_tpu.controls import calc_controls
+    from knode_cosserat_tpu.core.params import experimental_rod
+    from knode_cosserat_tpu.core.stepper import simulate_scan
+    from knode_cosserat_tpu.training.sysid import fit_rod_params
+
+    plant = experimental_rod(dtype=jnp.float64)          # the "real robot"
+    ctl = jnp.asarray(calc_controls("sine", 1.0, float(plant.del_t), 60),
+                      plant.dtype)
+    traj = simulate_scan(plant, ctl).traj[:, :, :25]     # observed states
+
+    # --- fault 1: wrong Young's modulus, teacher-forced objective --------
+    p0 = experimental_rod("youngs", dtype=jnp.float64)   # E = 10 GPa
+    res = fit_rod_params(p0, traj, ctl, fields=("E",), objective="teacher",
+                         steps=250, lr=0.1)
+    E_true, E_fit = float(plant.E), float(res.values["E"])
+    print(f"[teacher] E: {float(p0.E):.4g} -> {E_fit:.6g} "
+          f"(true {E_true:.6g}, error {abs(E_fit-E_true)/E_true:.2%}); "
+          f"loss {float(res.loss_history[0]):.2e} -> "
+          f"{float(res.loss_history[-1]):.2e}")
+
+    # --- fault 2: wrong damping, full implicit-rollout objective ---------
+    p0 = experimental_rod("damping", dtype=jnp.float64)  # Bbt = 0.2
+    res = fit_rod_params(p0, traj[:20], ctl[:20], fields=("Bbt",),
+                         objective="rollout", steps=60, lr=0.2)
+    b_true = float(np.asarray(plant.Bbt)[0, 0])
+    b_fit = float(res.values["Bbt"][0])
+    print(f"[rollout] Bbt: 0.2 -> {b_fit:.4g} (true {b_true:.4g}); "
+          f"loss {float(res.loss_history[0]):.2e} -> "
+          f"{float(res.loss_history[-1]):.2e}")
+
+
+if __name__ == "__main__":
+    main()

@@ -480,6 +480,49 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def cmd_sysid(args):
+    import jax
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
+
+    from .controls import calc_controls
+    from .core.params import apply_mod
+    from .core.stepper import simulate_scan
+    from .training.sysid import fit_rod_params, theta_init, theta_values
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    p0 = apply_mod(args.mod, original=args.original, dtype=dtype)
+
+    truth = None
+    if args.data:
+        data = np.load(args.data, allow_pickle=True)
+        traj = jnp.asarray(np.asarray(data["traj"])[:, :, :25], dtype)
+        controls = jnp.asarray(np.asarray(data["controls"]), dtype)
+    else:
+        # canonical fault-injection experiment: the plant is the TRUE rod,
+        # the model starts at the faulted mod and must recover it
+        plant = apply_mod(None, original=args.original, dtype=dtype)
+        controls = jnp.asarray(
+            calc_controls(args.type, args.arg, float(plant.del_t),
+                          args.length), dtype)
+        traj = simulate_scan(plant, controls).traj[:, :, :25]
+        truth = theta_values(theta_init(plant, args.fit))
+
+    res = fit_rod_params(p0, traj, controls, fields=tuple(args.fit),
+                         objective=args.objective, steps=args.steps,
+                         lr=args.lr)
+    start = theta_values(theta_init(p0, args.fit))
+    print(f"objective {args.objective}: loss "
+          f"{float(res.loss_history[0]):.3e} -> "
+          f"{float(res.loss_history[-1]):.3e} in {args.steps} steps")
+    for name in args.fit:
+        line = f"  {name}: {start[name]} -> {res.values[name]}"
+        if truth is not None:
+            line += f"  (true {truth[name]})"
+        print(line)
+
+
 def main(argv=None):
     # honor an explicit platform request (the axon TPU plugin ignores
     # JAX_PLATFORMS, so we route through jax.config)
@@ -575,6 +618,28 @@ def main(argv=None):
     sp.add_argument("data_name", type=str)
     sp.add_argument("--data_dir", type=str, default="datas")
     sp.set_defaults(fn=cmd_estimate)
+
+    sp = sub.add_parser(
+        "sysid", help="gradient-based physical-parameter identification")
+    sp.add_argument("--fit", nargs="+", default=["E"],
+                    help="base parameters to fit (E L r rho Bbt C g ...)")
+    sp.add_argument("--mod", type=str, default="youngs",
+                    help="faulted starting point (the mods registry)")
+    sp.add_argument("--original", action="store_true")
+    sp.add_argument("--objective", choices=("teacher", "rollout"),
+                    default="teacher")
+    sp.add_argument("--steps", type=int, default=300)
+    sp.add_argument("--lr", type=float, default=0.1)
+    sp.add_argument("--type", type=str, default="sine",
+                    help="plant control signal (when no --data)")
+    sp.add_argument("--arg", type=float, default=1.0)
+    sp.add_argument("--length", type=int, default=60,
+                    help="plant trajectory steps (when no --data)")
+    sp.add_argument("--data", type=str, default=None,
+                    help="npz with traj+controls (from `simulate`/prepare) "
+                         "instead of the generated plant")
+    sp.add_argument("--dtype", type=str, default="float64")
+    sp.set_defaults(fn=cmd_sysid)
 
     sp = sub.add_parser("train-real", help="real-data KNODE training")
     sp.add_argument("--data", type=str, default="sinesine")

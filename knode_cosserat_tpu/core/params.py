@@ -26,6 +26,7 @@ __all__ = [
     "RodParams",
     "make_rod",
     "derive",
+    "derive_traced",
     "experimental_rod",
     "original_rod",
     "apply_mod",
@@ -175,6 +176,60 @@ def derive(p: RodParams, dtype=None) -> RodParams:
         Kse_c0Bse_inv=cast(Kse_c0Bse_inv), Kbt_c0Bbt_inv=cast(Kbt_c0Bbt_inv),
         Kse_vstar=cast(Kse_vstar), v_rest=cast(v_rest),
         rhoA=cast(rho * A), rhoAg=cast(rho * A * g), rhoJ=cast(rho * J),
+    )
+
+
+def derive_traced(p: RodParams) -> RodParams:
+    """Traceable, differentiable twin of :func:`derive`.
+
+    Recomputes every derived field from the base physical parameters with
+    jnp ops, so gradients flow from any downstream loss back to E, L, r,
+    rho, Bse/Bbt, C, g, ... — the enabler for gradient-based system
+    identification (training/sysid.py), which the reference architecture
+    (host-side compute_intermediate_terms, cosserat_ode.py:58-78) cannot
+    express.
+
+    Runs in the dtype of the base leaves. Under x64 this matches the host
+    :func:`derive` bit-for-bit in practice (<1e-12 relative, pinned by
+    tests/test_sysid.py); under f32 the 3x3 inverses lose a little
+    conditioning, but every shipped config has Bse = 0 so
+    (Kse + c0*Bse)^-1 is a diagonal reciprocal and the v_rest
+    reformulation stays exact.
+    """
+    dtype = p.dtype
+    f = lambda x: jnp.asarray(x, dtype)
+    L, E, r, rho, del_t = f(p.L), f(p.E), f(p.r), f(p.rho), f(p.del_t)
+    Bse, Bbt, vstar, g = f(p.Bse), f(p.Bbt), f(p.vstar), f(p.g)
+
+    A = jnp.pi * r ** 2
+    Gmod = E / (2 * (1 + 0.3))
+    ds = L / (p.N - 1)
+    J = jnp.diag(jnp.stack([jnp.pi * r ** 4 / 4, jnp.pi * r ** 4 / 4,
+                            jnp.pi * r ** 4 / 2]))
+    Kse = jnp.diag(jnp.stack([Gmod * A, Gmod * A, E * A]))
+    Kbt = jnp.diag(jnp.stack([E * J[0, 0], E * J[1, 1], Gmod * J[2, 2]]))
+
+    c0 = 1.5 / del_t
+    c1 = -2.0 / del_t
+    c2 = 0.5 / del_t
+
+    Kse_c0Bse_inv = jnp.linalg.inv(Kse + c0 * Bse)
+    Kbt_c0Bbt_inv = jnp.linalg.inv(Kbt + c0 * Bbt)
+    Kse_vstar = Kse @ vstar
+    v_rest = Kse_c0Bse_inv @ Kse_vstar
+
+    return p.replace(
+        L=L, E=E, r=r, rho=rho, del_t=del_t,
+        vstar=vstar, g=g, Bse=Bse, Bbt=Bbt,
+        C=f(p.C), F_tip=f(p.F_tip), M_tip=f(p.M_tip),
+        T0=f(p.T0), tendon_offset=f(p.tendon_offset),
+        tendon_dirs=f(p.tendon_dirs),
+        p0=f(p.p0), h0=f(p.h0), q0=f(p.q0), w0=f(p.w0),
+        A=A, Gmod=Gmod, ds=ds, J=J,
+        Kse=Kse, Kbt=Kbt, c0=c0, c1=c1, c2=c2,
+        Kse_c0Bse_inv=Kse_c0Bse_inv, Kbt_c0Bbt_inv=Kbt_c0Bbt_inv,
+        Kse_vstar=Kse_vstar, v_rest=v_rest,
+        rhoA=rho * A, rhoAg=rho * A * g, rhoJ=rho * J,
     )
 
 
