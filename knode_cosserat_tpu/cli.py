@@ -497,8 +497,12 @@ def cmd_sysid(args):
     truth = None
     if args.data:
         data = np.load(args.data, allow_pickle=True)
-        traj = jnp.asarray(np.asarray(data["traj"])[:, :, :25], dtype)
-        controls = jnp.asarray(np.asarray(data["controls"]), dtype)
+        t = np.asarray(data["traj"])
+        if t.shape[-1] < 25 <= t.shape[1]:
+            t = np.moveaxis(t, 1, 2)   # reference (T, C, N) -> state-last
+        traj = jnp.asarray(t[args.trim:, :, :25], dtype)
+        controls = jnp.asarray(np.asarray(data["controls"])[args.trim:],
+                               dtype)
     else:
         # canonical fault-injection experiment: the plant is the TRUE rod,
         # the model starts at the faulted mod and must recover it
@@ -636,8 +640,12 @@ def main(argv=None):
     sp.add_argument("--length", type=int, default=60,
                     help="plant trajectory steps (when no --data)")
     sp.add_argument("--data", type=str, default=None,
-                    help="npz with traj+controls (from `simulate`/prepare) "
-                         "instead of the generated plant")
+                    help="npz with traj+controls (from `simulate`, prepare, "
+                         "or estimate) instead of the generated plant; both "
+                         "state-last and reference (T, C, N) layouts accepted")
+    sp.add_argument("--trim", type=int, default=0,
+                    help="drop the first TRIM steps (estimated real data "
+                         "uses 100, train_segment.py:36)")
     sp.add_argument("--dtype", type=str, default="float64")
     sp.set_defaults(fn=cmd_sysid)
 

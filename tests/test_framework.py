@@ -300,6 +300,33 @@ def test_cli_simulate_assembly_contact_plane(tmp_path):
     assert np.isfinite(data["plate_pose"]).all()
 
 
+def test_cli_sysid(tmp_path):
+    """`knode sysid`: generated-plant fault recovery, then fitting from a
+    saved rollout file via --data/--trim."""
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "sysid",
+         "--mod", "youngs", "--fit", "E", "--steps", "30", "--length", "10"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "E:" in out.stdout and "true" in out.stdout
+
+    sim = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "simulate",
+         "--type", "sine", "--arg", "1.0", "--steps", "10",
+         "--save", str(tmp_path / "obs.npz")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=300)
+    assert sim.returncode == 0, sim.stderr[-2000:]
+    out = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "sysid",
+         "--mod", "youngs", "--fit", "E", "--steps", "5",
+         "--data", str(tmp_path / "obs.npz"), "--trim", "2"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "E:" in out.stdout
+
+
 def test_cli_train_tiny(tmp_path):
     env = dict(os.environ)
     env["KNODE_PLATFORM"] = "cpu"
