@@ -17,7 +17,12 @@ A second fit recovers the "damping" fault (Bbt 0.2 vs true 0.03)
 through the FULL implicit BDF-2 rollout — gradients flow through every
 Newton shooting solve via lax.custom_root.
 
-Run: python examples/sysid.py   (CPU or TPU; CLI: `knode sysid`)
+Run: python examples/sysid.py   (CLI: `knode sysid`)
+
+Identification is a small OFFLINE workload, so this example pins f64 CPU
+— the right tool for parameter recovery (TPUs have no f64 LinAlg
+lowerings and f64 implicit-rollout programs are unsupported by libtpu).
+On-chip f32 fits: `knode sysid --dtype float32`.
 """
 import os
 import sys
@@ -26,6 +31,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import jax.numpy as jnp
@@ -62,6 +68,14 @@ def main():
     print(f"[rollout] Bbt: 0.2 -> {b_fit:.4g} (true {b_true:.4g}); "
           f"loss {float(res.loss_history[0]):.2e} -> "
           f"{float(res.loss_history[-1]):.2e}")
+
+    # --- identifiability: which parameters can this data separate? -------
+    from knode_cosserat_tpu.training.sysid import identifiability
+    rep = identifiability(plant, traj, ctl, fields=("E", "r"))
+    print(f"[identifiability] corr(E, r) = {rep.correlation[0, 1]:+.4f}, "
+          f"Hessian eigvals {rep.eigvals[0]:.2e} / {rep.eigvals[1]:.2e} — "
+          "E and r both enter stiffness; a joint fit from this data is "
+          "locally degenerate (fit one, or add data that separates them)")
 
 
 if __name__ == "__main__":

@@ -484,6 +484,12 @@ def cmd_sysid(args):
     import jax
     if args.dtype == "float64":
         jax.config.update("jax_enable_x64", True)
+        # f64 identification is a small OFFLINE workload and belongs on
+        # CPU: TPUs have no f64 LinAlg lowerings and large f64 implicit-
+        # rollout programs are unsupported by libtpu (observed worker
+        # crash). --dtype float32 leaves the backend free for on-chip fits.
+        if not os.environ.get("KNODE_PLATFORM"):
+            jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from .controls import calc_controls

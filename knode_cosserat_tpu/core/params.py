@@ -179,6 +179,28 @@ def derive(p: RodParams, dtype=None) -> RodParams:
     )
 
 
+def _inv3(M):
+    """Closed-form (adjugate) 3x3 inverse: differentiable and lowerable on
+    every backend/dtype (TPU has no f64 LuDecomposition, which
+    jnp.linalg.inv would require)."""
+    a, b, c = M[0, 0], M[0, 1], M[0, 2]
+    d, e, f = M[1, 0], M[1, 1], M[1, 2]
+    g, h, i = M[2, 0], M[2, 1], M[2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    return jnp.stack([jnp.stack([A, B, C]),
+                      jnp.stack([D, E, F]),
+                      jnp.stack([G, H, I])]) / det
+
+
 def derive_traced(p: RodParams) -> RodParams:
     """Traceable, differentiable twin of :func:`derive`.
 
@@ -213,8 +235,8 @@ def derive_traced(p: RodParams) -> RodParams:
     c1 = -2.0 / del_t
     c2 = 0.5 / del_t
 
-    Kse_c0Bse_inv = jnp.linalg.inv(Kse + c0 * Bse)
-    Kbt_c0Bbt_inv = jnp.linalg.inv(Kbt + c0 * Bbt)
+    Kse_c0Bse_inv = _inv3(Kse + c0 * Bse)
+    Kbt_c0Bbt_inv = _inv3(Kbt + c0 * Bbt)
     Kse_vstar = Kse @ vstar
     v_rest = Kse_c0Bse_inv @ Kse_vstar
 

@@ -5,6 +5,7 @@ from .loss import (teacher_forced_loss, grow_predictions,
                    DEFAULT_KEYPOINTS_REAL)
 from .online import OnlineAdapter, OnlineConfig
 from .sysid import (SysIdResult, fit_rod_params, apply_theta, theta_init,
-                    theta_values, FITTABLE_FIELDS)
+                    theta_values, FITTABLE_FIELDS, IdentifiabilityReport,
+                    identifiability)
 from .train import (TrainConfig, TrainResult, train_knode, make_train_step,
                     make_epoch_scan, make_optimizer, rollout_with_nn)

@@ -45,7 +45,8 @@ from ..models.mlp import MLPSpec, mlp_apply
 from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
 
 __all__ = ["FITTABLE_FIELDS", "theta_init", "apply_theta", "theta_values",
-           "SysIdResult", "fit_rod_params"]
+           "SysIdResult", "fit_rod_params", "IdentifiabilityReport",
+           "identifiability"]
 
 # field -> parameterization. log: positive scalar fitted as log(x);
 # logdiag: (3,3) diagonal matrix fitted as log of its diagonal;
@@ -134,6 +135,37 @@ class SysIdResult:
     values: Dict[str, np.ndarray]
     nn_params: object
     loss_history: jnp.ndarray
+    # final objective per start when n_starts > 1 (loss_history is the
+    # winning start's curve)
+    start_losses: Optional[jnp.ndarray] = None
+
+
+def _make_objective(p, traj, controls, objective, keypoints, spec,
+                    nn_params, method, tol, max_iter):
+    """Shared scalar objective theta_dict -> loss for fitting and
+    identifiability analysis."""
+
+    def loss_fn(theta):
+        p_t = apply_theta(p, theta["phys"])
+        nnp = theta.get("nn", nn_params)
+        if objective == "teacher":
+            per = jax.vmap(lambda tr, ct: teacher_forced_loss(
+                p_t, spec, nnp, tr, ct, keypoints))(traj, controls)
+            return jnp.mean(per)
+        nn_fn = None
+        if nnp is not None:
+            nn_fn = lambda x: mlp_apply(spec, nnp, x)
+
+        def one(tr, ct):
+            sim = simulate_scan(p_t, ct, nn_fn=nn_fn,
+                                nn_history=spec.history, method=method,
+                                tol=tol, max_iter=max_iter,
+                                differentiable=True, remat=True)
+            return jnp.mean((sim.traj[:, :, :3] - tr[:, :, :3]) ** 2)
+
+        return jnp.mean(jax.vmap(one)(traj, controls))
+
+    return loss_fn
 
 
 def fit_rod_params(
@@ -154,6 +186,9 @@ def fit_rod_params(
     method: str = "euler",
     tol: Optional[float] = None,
     max_iter: int = 50,
+    n_starts: int = 1,
+    start_scale: float = 0.25,
+    key: Optional[jax.Array] = None,
 ) -> SysIdResult:
     """Fit physical rod parameters to observed trajectories.
 
@@ -169,10 +204,17 @@ def fit_rod_params(
       fit_nn: jointly train the residual MLP (grey-box); ``nn_params`` must
         then be provided (e.g. ``init_mlp``) and is returned fitted.
       optimizer: optax transform for the physics theta (default Adam(lr));
-        when fit_nn, NN weights get their own Adam(nn_lr) via multi_transform
-        semantics (implemented as two chained masked transforms).
+        when fit_nn, NN weights get their own Adam(nn_lr) via
+        optax.multi_transform.
+      n_starts: >1 runs vmapped RANDOM-RESTART fits (the rollout objective
+        is non-convex): start 0 is the unperturbed theta, the rest jitter
+        the physics theta (log-space fields additively, linear fields
+        relative to their magnitude) by ``start_scale``; the start with
+        the lowest final objective wins. Same pattern as the multi-start
+        MPC planner (control/mpc.make_multistart_planner).
 
-    Returns a :class:`SysIdResult`; the whole fit is one jitted program.
+    Returns a :class:`SysIdResult`; the whole fit is one jitted program
+    (all starts train concurrently under vmap).
     """
     if objective not in ("teacher", "rollout"):
         raise ValueError(f"unknown objective {objective!r}")
@@ -205,27 +247,9 @@ def fit_rod_params(
     else:
         opt = optimizer
 
-    def loss_fn(theta):
-        p_t = apply_theta(p, theta["phys"])
-        nnp = theta.get("nn", nn_params)
-        if objective == "teacher":
-            per = jax.vmap(lambda tr, ct: teacher_forced_loss(
-                p_t, spec, nnp, tr, ct, keypoints))(traj, controls)
-            return jnp.mean(per)
-        nn_fn = None
-        if nnp is not None:
-            nn_fn = lambda x: mlp_apply(spec, nnp, x)
+    loss_fn = _make_objective(p, traj, controls, objective, keypoints,
+                              spec, nn_params, method, tol, max_iter)
 
-        def one(tr, ct):
-            sim = simulate_scan(p_t, ct, nn_fn=nn_fn,
-                                nn_history=spec.history, method=method,
-                                tol=tol, max_iter=max_iter,
-                                differentiable=True, remat=True)
-            return jnp.mean((sim.traj[:, :, :3] - tr[:, :, :3]) ** 2)
-
-        return jnp.mean(jax.vmap(one)(traj, controls))
-
-    @jax.jit
     def run(theta):
         opt_state = opt.init(theta)
 
@@ -238,9 +262,44 @@ def fit_rod_params(
 
         (theta, _), hist = lax.scan(fit_step, (theta, opt_state), None,
                                     length=steps)
-        return theta, hist
+        return theta, hist, loss_fn(theta)
 
-    theta_fit, hist = run(theta0)
+    start_losses = None
+    if n_starts > 1:
+        key = jax.random.PRNGKey(0) if key is None else key
+        phys0 = theta0["phys"]
+        leaves, treedef = jax.tree.flatten(phys0)
+        keys = jax.random.split(key, len(leaves))
+
+        def jittered(leaf, k, name_kind):
+            noise = jax.random.normal(
+                k, (n_starts - 1,) + jnp.shape(leaf), leaf.dtype)
+            if name_kind == "linear":
+                scale = start_scale * (jnp.abs(leaf) + 1e-3)
+            else:            # log-space: additive jitter = relative jitter
+                scale = start_scale
+            batch = leaf[None] + scale * noise
+            return jnp.concatenate([leaf[None], batch], axis=0)
+
+        kinds = [FITTABLE_FIELDS[n] for n in sorted(phys0)]
+        # tree.flatten of a dict flattens in sorted-key order
+        phys_batch = jax.tree.unflatten(treedef, [
+            jittered(l, k, kind)
+            for l, k, kind in zip(leaves, keys, kinds)])
+        theta_batch = {"phys": phys_batch}
+        if fit_nn:
+            theta_batch["nn"] = jax.tree.map(
+                lambda a: jnp.broadcast_to(a[None],
+                                           (n_starts,) + jnp.shape(a)),
+                theta0["nn"])
+        theta_fit_b, hist_b, final_b = jax.jit(jax.vmap(run))(theta_batch)
+        best = jnp.argmin(final_b)
+        theta_fit = jax.tree.map(lambda a: a[best], theta_fit_b)
+        hist = hist_b[best]
+        start_losses = final_b
+    else:
+        theta_fit, hist, _ = jax.jit(run)(theta0)
+
     phys = theta_fit["phys"]
     return SysIdResult(
         params=apply_theta(p, phys),
@@ -248,4 +307,99 @@ def fit_rod_params(
         values=theta_values(phys),
         nn_params=theta_fit.get("nn", nn_params),
         loss_history=hist,
+        start_losses=start_losses,
     )
+
+
+@dataclasses.dataclass
+class IdentifiabilityReport:
+    """Local identifiability analysis at a parameter point.
+
+    All quantities live in TRANSFORM space (log for positive scalars /
+    diagonals — i.e. relative perturbations; linear otherwise).
+
+    labels: flattened theta component names ("E", "Bbt[0]", ...).
+    hessian: (D, D) curvature of the objective.
+    covariance_unscaled: pinv(hessian) — the Laplace covariance UP TO the
+      observation-noise scale sigma^2 (which the MSE objective does not
+      estimate); meaningful for RELATIVE comparisons between parameters.
+    std_unscaled: sqrt(diag(covariance_unscaled)).
+    correlation: scale-free parameter correlation matrix — near +/-1
+      entries mean the data cannot tell those parameters apart (e.g. E
+      and r both enter stiffness as E*r^2/r^4).
+    eigvals: hessian eigenvalues, ascending — near-zero relative to the
+      largest means a locally non-identifiable direction (the matching
+      eigvecs row says which combination).
+    eigvecs: (D, D), column i pairs with eigvals[i].
+    """
+    labels: list
+    hessian: np.ndarray
+    covariance_unscaled: np.ndarray
+    std_unscaled: np.ndarray
+    correlation: np.ndarray
+    eigvals: np.ndarray
+    eigvecs: np.ndarray
+
+
+def identifiability(
+    p: RodParams,
+    traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    fields: Sequence[str] = ("E",),
+    *,
+    objective: str = "teacher",
+    keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
+    spec: Optional[MLPSpec] = None,
+    nn_params=None,
+    method: str = "euler",
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+) -> IdentifiabilityReport:
+    """Curvature-based local identifiability of ``fields`` at ``p``.
+
+    Computes the exact autodiff Hessian of the chosen objective w.r.t.
+    the (small) transform-space theta vector at ``p`` — typically called
+    at a fitted point (``res.params``). Near-singular directions and
+    near-unit correlations expose parameter combinations the data cannot
+    separate, BEFORE they corrupt a fit.
+    """
+    if objective not in ("teacher", "rollout"):
+        raise ValueError(f"unknown objective {objective!r}")
+    spec = spec if spec is not None else MLPSpec.for_knode()
+    traj = jnp.asarray(traj, p.dtype)
+    controls = jnp.asarray(controls, p.dtype)
+    if traj.ndim == 3:
+        traj = traj[None]
+        controls = controls[None]
+
+    theta = theta_init(p, fields)
+    labels, sizes = [], []
+    for name in sorted(theta):          # tree.flatten order
+        n = int(np.prod(jnp.shape(theta[name]))) or 1
+        sizes.append(n)
+        labels += [name] if n == 1 else [f"{name}[{i}]" for i in range(n)]
+    leaves, treedef = jax.tree.flatten(theta)
+    vec0 = jnp.concatenate([jnp.ravel(l) for l in leaves])
+
+    loss_fn = _make_objective(p, traj, controls, objective, keypoints,
+                              spec, nn_params, method, tol, max_iter)
+
+    def loss_of_vec(v):
+        out, off = [], 0
+        for leaf, n in zip(leaves, sizes):
+            out.append(jnp.reshape(v[off:off + n], jnp.shape(leaf)))
+            off += n
+        return loss_fn({"phys": jax.tree.unflatten(treedef, out)})
+
+    H = np.asarray(jax.jit(jax.hessian(loss_of_vec))(vec0), np.float64)
+    H = 0.5 * (H + H.T)
+    cov = np.linalg.pinv(H)
+    std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
+    denom = np.outer(std, std)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        corr = np.where(denom > 0, cov / np.where(denom == 0, 1, denom), 0.0)
+    w, V = np.linalg.eigh(H)
+    return IdentifiabilityReport(labels=labels, hessian=H,
+                                 covariance_unscaled=cov,
+                                 std_unscaled=std, correlation=corr,
+                                 eigvals=w, eigvecs=V)

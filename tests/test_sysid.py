@@ -19,8 +19,8 @@ from knode_cosserat_tpu.core.params import (derive, derive_traced,
 from knode_cosserat_tpu.core.stepper import simulate_scan
 from knode_cosserat_tpu.models.mlp import MLPSpec, init_mlp
 from knode_cosserat_tpu.training.sysid import (FITTABLE_FIELDS, apply_theta,
-                                               fit_rod_params, theta_init,
-                                               theta_values)
+                                               fit_rod_params, identifiability,
+                                               theta_init, theta_values)
 
 DERIVED_FIELDS = ("A", "Gmod", "ds", "J", "Kse", "Kbt", "c0", "c1", "c2",
                   "Kse_c0Bse_inv", "Kbt_c0Bbt_inv", "Kse_vstar", "v_rest",
@@ -124,6 +124,46 @@ def test_joint_grey_box_fit():
     E_fit = float(res.values["E"])
     assert abs(np.log(E_fit / float(np.asarray(p_true.E)))) < \
         abs(np.log(float(np.asarray(p0.E)) / float(np.asarray(p_true.E))))
+
+
+def test_multistart_fit():
+    """n_starts>1 runs vmapped random restarts; the winner's objective is
+    the minimum over starts and E is still recovered."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=24)
+    p0 = experimental_rod("youngs", dtype=jnp.float64)
+    res = fit_rod_params(p0, traj, ctl, fields=("E",), steps=80, lr=0.1,
+                         n_starts=4, key=jax.random.PRNGKey(1))
+    assert res.start_losses.shape == (4,)
+    assert np.all(np.isfinite(np.asarray(res.start_losses)))
+    # returned theta is the argmin start
+    E_fit = float(res.values["E"])
+    E_true = float(np.asarray(p_true.E))
+    assert abs(np.log(E_fit / E_true)) < 0.1
+
+
+def test_identifiability_flags_E_r_degeneracy():
+    """E and r both enter stiffness (Kse ~ E r^2, Kbt ~ E r^4): the data
+    cannot separate them, and the curvature analysis must say so — near -1
+    correlation and a near-singular Hessian direction. A single-parameter
+    fit is well conditioned."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=24)
+
+    rep = identifiability(p_true, traj, ctl, fields=("E", "r"))
+    assert rep.labels == ["E", "r"]
+    assert rep.correlation[0, 1] < -0.9
+    assert rep.eigvals[0] < 1e-2 * rep.eigvals[-1]
+    np.testing.assert_allclose(rep.hessian, rep.hessian.T)
+
+    rep1 = identifiability(p_true, traj, ctl, fields=("E",))
+    assert rep1.labels == ["E"]
+    assert rep1.eigvals[0] > 0
+    assert rep1.std_unscaled[0] > 0
+
+    # vector field labels flatten with indices
+    rep3 = identifiability(p_true, traj, ctl, fields=("Bbt",))
+    assert rep3.labels == ["Bbt[0]", "Bbt[1]", "Bbt[2]"]
 
 
 def test_batched_trajectories_and_validation():
