@@ -521,7 +521,10 @@ def cmd_sysid(args):
 
     res = fit_rod_params(p0, traj, controls, fields=tuple(args.fit),
                          objective=args.objective, steps=args.steps,
-                         lr=args.lr)
+                         lr=args.lr, n_starts=args.n_starts)
+    if args.n_starts > 1:
+        print("start losses:",
+              " ".join(f"{v:.3e}" for v in np.asarray(res.start_losses)))
     start = theta_values(theta_init(p0, args.fit))
     print(f"objective {args.objective}: loss "
           f"{float(res.loss_history[0]):.3e} -> "
@@ -640,6 +643,8 @@ def main(argv=None):
                     default="teacher")
     sp.add_argument("--steps", type=int, default=300)
     sp.add_argument("--lr", type=float, default=0.1)
+    sp.add_argument("--n_starts", type=int, default=1,
+                    help=">1: vmapped random-restart fits, best wins")
     sp.add_argument("--type", type=str, default="sine",
                     help="plant control signal (when no --data)")
     sp.add_argument("--arg", type=float, default=1.0)

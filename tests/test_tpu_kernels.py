@@ -221,3 +221,22 @@ def test_tpu_fused_training_train_real_scale():
     run = make_fused_training_run(p, spec, cfg, 10)
     _, losses, _ = run(params, jnp.asarray(trajs), jnp.asarray(ctls))
     assert np.isfinite(np.asarray(losses)).all()
+
+
+def test_tpu_sysid_teacher_fit(rod, controls):
+    """f32 teacher-objective sysid compiles and recovers direction on chip
+    (derive_traced's adjugate inverse must lower — jnp.linalg.inv has no
+    TPU f64 path and this pins the f32 chip path end-to-end)."""
+    from knode_cosserat_tpu.core.stepper import simulate_scan
+    from knode_cosserat_tpu.training.sysid import fit_rod_params
+
+    p_true = apply_mod(None, dtype=jnp.float32)
+    ctl = controls[0]
+    traj = simulate_scan(p_true, ctl).traj[:, :, :25]
+    p0 = apply_mod("youngs", dtype=jnp.float32)
+    res = fit_rod_params(p0, traj, ctl, fields=("E",), objective="teacher",
+                         steps=40, lr=0.1)
+    assert np.isfinite(np.asarray(res.loss_history)).all()
+    assert float(res.loss_history[-1]) < float(res.loss_history[0])
+    # moved from 10 GPa toward the true 2.758 GPa
+    assert float(res.values["E"]) < 9e9
