@@ -46,7 +46,7 @@ from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
 
 __all__ = ["FITTABLE_FIELDS", "theta_init", "apply_theta", "theta_values",
            "SysIdResult", "fit_rod_params", "IdentifiabilityReport",
-           "identifiability"]
+           "identifiability", "DesignResult", "design_experiment"]
 
 # field -> parameterization. log: positive scalar fitted as log(x);
 # logdiag: (3,3) diagonal matrix fitted as log of its diagonal;
@@ -403,3 +403,127 @@ def identifiability(
                                  covariance_unscaled=cov,
                                  std_unscaled=std, correlation=corr,
                                  eigvals=w, eigvecs=V)
+
+
+@dataclasses.dataclass
+class DesignResult:
+    """Outcome of :func:`design_experiment`.
+
+    controls: (T, n_tendons) optimized tension schedule (within bounds).
+    objective_history: (steps,) criterion value per Adam step (the
+      MINIMIZED quantity: -logdet for "D", -min-eigenvalue for "E").
+    info_initial / info_final: criterion value (log det / min eig of the
+      Fisher) at the initial and designed schedule — the information gain.
+    """
+    controls: jnp.ndarray
+    objective_history: jnp.ndarray
+    info_initial: float
+    info_final: float
+
+
+def design_experiment(
+    p: RodParams,
+    fields: Sequence[str] = ("E",),
+    horizon: int = 30,
+    *,
+    criterion: str = "D",
+    u_min: float = 0.0,
+    u_max: float = 10.0,
+    steps: int = 100,
+    lr: float = 0.1,
+    keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
+    method: str = "euler",
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+    u_init: Optional[jnp.ndarray] = None,
+    key: Optional[jax.Array] = None,
+) -> DesignResult:
+    """Fisher-optimal input design: pick the tension schedule that makes
+    ``fields`` maximally identifiable BEFORE running the experiment.
+
+    The information matrix is the Gauss-Newton Fisher of the teacher
+    objective at the nominal parameters: simulate ``p`` under the candidate
+    schedule u (differentiably — ``lax.custom_root`` through every Newton
+    solve), evaluate the theta-Hessian of the teacher loss on that
+    trajectory (exact Gauss-Newton there: residuals vanish at the nominal
+    point), and ascend log det (D-optimal) or the smallest eigenvalue
+    (E-optimal) with Adam over sigmoid-bounded tensions. The whole design
+    loop is ONE jitted ``lax.scan``; gradients w.r.t. the schedule flow
+    through the theta-Hessian AND the implicit rollout.
+
+    The Fisher is known up to the observation-noise scale, which shifts
+    log det by a constant — optimal designs are unaffected.
+
+    A static schedule carries no information about damping/drag; the
+    designed schedule learns to excite the rod (tests/test_sysid.py pins
+    the gain).
+    """
+    if criterion not in ("D", "E"):
+        raise ValueError(f"unknown criterion {criterion!r} (want 'D' or 'E')")
+    theta = theta_init(p, fields)
+    leaves, treedef = jax.tree.flatten(theta)
+    sizes = [int(np.prod(jnp.shape(l))) or 1 for l in leaves]
+    vec0 = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    spec = MLPSpec.for_knode()
+    dtype = p.dtype
+
+    def unpack(v):
+        out, off = [], 0
+        for leaf, n in zip(leaves, sizes):
+            out.append(jnp.reshape(v[off:off + n], jnp.shape(leaf)))
+            off += n
+        return jax.tree.unflatten(treedef, out)
+
+    def fisher(u):
+        sim = simulate_scan(p, u, method=method, tol=tol, max_iter=max_iter,
+                            differentiable=True, remat=True)
+        traj = sim.traj[:, :, :25]
+
+        def loss_of_vec(v):
+            return teacher_forced_loss(apply_theta(p, unpack(v)), spec,
+                                       None, traj, u, keypoints)
+
+        H = jax.hessian(loss_of_vec)(vec0)
+        return 0.5 * (H + H.T)
+
+    def info(u):
+        H = fisher(u)
+        if criterion == "D":
+            return jnp.linalg.slogdet(H)[1]
+        return jnp.linalg.eigvalsh(H)[0]
+
+    span = u_max - u_min
+    if u_init is None:
+        # mid-range static start + tiny noise so the sigmoid has gradient
+        key = jax.random.PRNGKey(0) if key is None else key
+        logits0 = 0.01 * jax.random.normal(
+            key, (horizon, p.tendon_dirs.shape[0]), dtype)
+    else:
+        u0 = jnp.clip((jnp.asarray(u_init, dtype) - u_min) / span,
+                      1e-4, 1 - 1e-4)
+        logits0 = jnp.log(u0 / (1 - u0))
+
+    def objective(logits):
+        return -info(u_min + span * jax.nn.sigmoid(logits))
+
+    opt = optax.adam(lr)
+
+    @jax.jit
+    def run(logits):
+        state = opt.init(logits)
+
+        def step(carry, _):
+            lg, st = carry
+            val, g = jax.value_and_grad(objective)(lg)
+            upd, st = opt.update(g, st, lg)
+            return (optax.apply_updates(lg, upd), st), val
+
+        (logits_f, _), hist = lax.scan(step, (logits, state), None,
+                                       length=steps)
+        u_f = u_min + span * jax.nn.sigmoid(logits_f)
+        return u_f, hist, info(u_f)
+
+    u_fit, hist, info_f = run(logits0)
+    return DesignResult(controls=u_fit, objective_history=hist,
+                        info_initial=float(-hist[0]),
+                        info_final=float(info_f))

@@ -19,6 +19,7 @@ from knode_cosserat_tpu.core.params import (derive, derive_traced,
 from knode_cosserat_tpu.core.stepper import simulate_scan
 from knode_cosserat_tpu.models.mlp import MLPSpec, init_mlp
 from knode_cosserat_tpu.training.sysid import (FITTABLE_FIELDS, apply_theta,
+                                               design_experiment,
                                                fit_rod_params, identifiability,
                                                theta_init, theta_values)
 
@@ -126,6 +127,21 @@ def test_joint_grey_box_fit():
         abs(np.log(float(np.asarray(p0.E)) / float(np.asarray(p_true.E))))
 
 
+def test_recovery_under_observation_noise():
+    """Real observations are noisy (the reference trains with
+    noise_traj=0.01 on real data, train_segment.py:14): E must still be
+    recovered to a few percent from noisy states."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=40)
+    noisy = traj + 1e-3 * jax.random.normal(jax.random.PRNGKey(2),
+                                            traj.shape, traj.dtype)
+    p0 = experimental_rod("youngs", dtype=jnp.float64)
+    res = fit_rod_params(p0, noisy, ctl, fields=("E",), steps=250, lr=0.1)
+    E_fit = float(res.values["E"])
+    E_true = float(np.asarray(p_true.E))
+    assert abs(np.log(E_fit / E_true)) < 0.15, (E_fit, E_true)
+
+
 def test_multistart_fit():
     """n_starts>1 runs vmapped random restarts; the winner's objective is
     the minimum over starts and E is still recovered."""
@@ -164,6 +180,36 @@ def test_identifiability_flags_E_r_degeneracy():
     # vector field labels flatten with indices
     rep3 = identifiability(p_true, traj, ctl, fields=("Bbt",))
     assert rep3.labels == ["Bbt[0]", "Bbt[1]", "Bbt[2]"]
+
+
+def test_design_experiment_gains_information():
+    """D-optimal input design: starting from a near-static mid-range
+    schedule (which carries almost no damping information), the designed
+    schedule must raise log det of the Bbt Fisher by orders of magnitude
+    and actually excite the rod. Gradients flow through the theta-Hessian
+    AND the implicit rollout."""
+    p = experimental_rod(dtype=jnp.float64)
+    res = design_experiment(p, fields=("Bbt",), horizon=12, steps=25,
+                            lr=0.3, u_min=0.0, u_max=10.0,
+                            key=jax.random.PRNGKey(3))
+    assert np.isfinite(np.asarray(res.objective_history)).all()
+    assert res.info_final > res.info_initial + 5.0   # nats of log det
+    u = np.asarray(res.controls)
+    assert u.min() >= 0.0 and u.max() <= 10.0
+    assert u.std(axis=0).mean() > 0.5                # learned to excite
+
+    with pytest.raises(ValueError, match="criterion"):
+        design_experiment(p, fields=("E",), horizon=4, criterion="X")
+
+
+def test_design_experiment_e_criterion_and_warm_start():
+    """E-optimal criterion runs; u_init warm-starts within bounds."""
+    p = experimental_rod(dtype=jnp.float64)
+    u0 = 5.0 + jnp.zeros((8, 4), jnp.float64)
+    res = design_experiment(p, fields=("E",), horizon=8, steps=10, lr=0.3,
+                            criterion="E", u_init=u0)
+    assert np.isfinite(np.asarray(res.objective_history)).all()
+    assert res.info_final >= res.info_initial
 
 
 def test_batched_trajectories_and_validation():
