@@ -3,7 +3,8 @@ from .data import (make_training_data, make_validation_reference,
 from .loss import (teacher_forced_loss, grow_predictions,
                    DEFAULT_KEYPOINTS_FAST, DEFAULT_KEYPOINTS_SLOW,
                    DEFAULT_KEYPOINTS_REAL)
-from .online import OnlineAdapter, OnlineConfig
+from .online import (OnlineAdapter, OnlineConfig, OnlineSysId,
+                     OnlineSysIdConfig)
 from .sysid import (SysIdResult, fit_rod_params, apply_theta, theta_init,
                     theta_values, FITTABLE_FIELDS, IdentifiabilityReport,
                     identifiability)

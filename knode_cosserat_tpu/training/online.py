@@ -40,7 +40,88 @@ from ..models.mlp import MLPSpec, init_mlp
 from .loss import DEFAULT_KEYPOINTS_FAST
 from .train import make_train_step
 
-__all__ = ["OnlineConfig", "OnlineAdapter"]
+__all__ = ["OnlineConfig", "OnlineAdapter", "OnlineSysIdConfig",
+           "OnlineSysId"]
+
+
+class _TelemetryRing:
+    """Host-side telemetry ring buffer shared by the online learners:
+    full-state records + applied tensions, power-of-two window bucketing
+    so the jitted update step compiles a handful of times ever (see
+    OnlineAdapter docstring for why padding instead would teach wrong
+    physics)."""
+
+    def __init__(self, p: RodParams, window: int, min_fill: int):
+        if min_fill < 3:
+            raise ValueError("min_fill must be >= 3 (the first transition "
+                             "is dropped — see skip_first — so the loss "
+                             "needs at least two)")
+        if min_fill > window:
+            raise ValueError("min_fill cannot exceed window")
+        self._window = window
+        self._min_fill = min_fill
+        N = int(p.N)
+        self._n_tendons = int(getattr(p, "n_tendons", 4))
+        self._dtype = np.dtype(np.asarray(p.del_t).dtype)
+        self._traj = np.zeros((window, N, 25), self._dtype)
+        self._ctrl = np.zeros((window, self._n_tendons), self._dtype)
+        self._head = 0              # next write slot
+        self._count = 0             # total observed (saturates at window)
+
+    def observe(self, record: np.ndarray, control: np.ndarray) -> None:
+        """Append one telemetry step.
+
+        record: (N, >=25) full state [y(19), z(6), ...] — the leading 25
+          channels of the simulator's record rows, or realworld/estimate
+          output. Extra channels (yh/zh in 50-wide records) are ignored.
+        control: (n_tendons,) applied tendon tensions for this step.
+        """
+        rec = np.asarray(record, self._dtype)
+        if rec.ndim != 2 or rec.shape[0] != self._traj.shape[1] \
+                or rec.shape[1] < 25:
+            raise ValueError(f"record shape {rec.shape} incompatible with "
+                             f"(N={self._traj.shape[1]}, >=25)")
+        u = np.asarray(control, self._dtype)
+        if u.shape != (self._n_tendons,):
+            raise ValueError(f"control shape {u.shape} != "
+                             f"({self._n_tendons},) — a scalar would "
+                             "silently broadcast into every tendon slot")
+        self._traj[self._head] = rec[:, :25]
+        self._ctrl[self._head] = u
+        self._head = (self._head + 1) % self._window
+        self._count = min(self._count + 1, self._window)
+
+    def reset_buffer(self) -> None:
+        """Drop buffered telemetry (e.g. across a known discontinuity —
+        a re-rig, a payload swap) without touching learned state."""
+        self._head = 0
+        self._count = 0
+
+    @property
+    def ready(self) -> bool:
+        return self._count >= self._min_fill
+
+    def _bucket(self) -> int:
+        """Largest power-of-two multiple of min_fill that fits the current
+        fill (capped at window)."""
+        if self._count >= self._window:
+            return self._window
+        b = self._min_fill
+        while b * 2 <= self._count:
+            b *= 2
+        return min(b, self._window)
+
+    def _ordered_window(self):
+        """The most recent ``_bucket()`` frames, oldest-first."""
+        W = self._window
+        b = self._bucket()
+        if self._count < W:
+            t = self._traj[self._count - b: self._count]
+            c = self._ctrl[self._count - b: self._count]
+        else:
+            idx = (np.arange(W - b, W) + self._head) % W
+            t, c = self._traj[idx], self._ctrl[idx]
+        return t, c
 
 
 @dataclasses.dataclass
@@ -67,7 +148,7 @@ class OnlineConfig:
         return MLPSpec.for_knode(self.hidden, self.history, self.activation)
 
 
-class OnlineAdapter:
+class OnlineAdapter(_TelemetryRing):
     """Streaming KNODE residual learner over a sliding window.
 
     >>> adapter = OnlineAdapter(model_rod, OnlineConfig())
@@ -80,19 +161,19 @@ class OnlineAdapter:
     ``model_rod`` is the controller's (imperfect) physics; the residual
     learns whatever the telemetry source (the real plant) does that the
     model physics does not — the KNODE premise, applied online.
+
+    The window is BUCKETED to powers of two (one compile per bucket ever
+    reached, a handful total) WITHOUT fabricating transitions: padding by
+    repeating a frame would teach the residual "this mid-swing state
+    stays put" — wrong physics — on every padded row.
     """
 
     def __init__(self, p: RodParams, cfg: Optional[OnlineConfig] = None):
         self.p = p
         self.cfg = cfg = cfg or OnlineConfig()
-        if cfg.min_fill < 3:
-            raise ValueError("min_fill must be >= 3 (the first transition "
-                             "is dropped — see skip_first — so the loss "
-                             "needs at least two)")
-        if cfg.min_fill > cfg.window:
-            raise ValueError("min_fill cannot exceed window")
         if cfg.steps_per_update < 1:
             raise ValueError("steps_per_update must be >= 1")
+        super().__init__(p, cfg.window, cfg.min_fill)
         self.spec = cfg.spec()
         self.params = init_mlp(self.spec, jax.random.PRNGKey(cfg.seed))
         self._optimizer = (optax.adamw(cfg.lr,
@@ -107,70 +188,8 @@ class OnlineAdapter:
             p, self.spec, self._optimizer, cfg.keypoints, cfg.clamp_weights,
             skip_first=True)
         self._loss_fn = jax.jit(loss_fn)   # diagnostics reuse the trace
-        N = int(p.N)
-        self._n_tendons = int(getattr(p, "n_tendons", 4))
-        self._dtype = np.dtype(np.asarray(p.del_t).dtype)
-        self._traj = np.zeros((cfg.window, N, 25), self._dtype)
-        self._ctrl = np.zeros((cfg.window, self._n_tendons), self._dtype)
-        self._head = 0              # next write slot
-        self._count = 0             # total observed (saturates at window)
         self.updates = 0
         self.last_loss: Optional[float] = None
-
-    # ----------------------------------------------------------- stream in
-
-    def observe(self, record: np.ndarray, control: np.ndarray) -> None:
-        """Append one telemetry step.
-
-        record: (N, >=25) full state [y(19), z(6), ...] — the leading 25
-          channels of the simulator's record rows, or realworld/estimate
-          output. Extra channels (yh/zh in 50-wide records) are ignored.
-        control: (n_tendons,) applied tendon tensions for this step.
-        """
-        rec = np.asarray(record, self._dtype)
-        if rec.ndim != 2 or rec.shape[0] != self._traj.shape[1] \
-                or rec.shape[1] < 25:
-            raise ValueError(f"record shape {rec.shape} incompatible with "
-                             f"(N={self._traj.shape[1]}, >=25)")
-        u = np.asarray(control, self._dtype)
-        if u.shape != (self._n_tendons,):
-            raise ValueError(f"control shape {u.shape} != "
-                             f"({self._n_tendons},) — a scalar would "
-                             "silently broadcast into every tendon slot")
-        self._traj[self._head] = rec[:, :25]
-        self._ctrl[self._head] = u
-        self._head = (self._head + 1) % self.cfg.window
-        self._count = min(self._count + 1, self.cfg.window)
-
-    @property
-    def ready(self) -> bool:
-        return self._count >= self.cfg.min_fill
-
-    def _bucket(self) -> int:
-        """Largest power-of-two multiple of min_fill that fits the current
-        fill (capped at window). Bucketing keeps the jitted step's shapes
-        static (one compile per bucket ever reached, a handful total)
-        WITHOUT fabricating transitions: padding by repeating a frame
-        would teach the residual "this mid-swing state stays put" — wrong
-        physics — on every padded row."""
-        if self._count >= self.cfg.window:
-            return self.cfg.window
-        b = self.cfg.min_fill
-        while b * 2 <= self._count:
-            b *= 2
-        return min(b, self.cfg.window)
-
-    def _ordered_window(self):
-        """The most recent ``_bucket()`` frames, oldest-first."""
-        W = self.cfg.window
-        b = self._bucket()
-        if self._count < W:
-            t = self._traj[self._count - b: self._count]
-            c = self._ctrl[self._count - b: self._count]
-        else:
-            idx = (np.arange(W - b, W) + self._head) % W
-            t, c = self._traj[idx], self._ctrl[idx]
-        return t, c
 
     # ----------------------------------------------------------- learn
 
@@ -206,3 +225,107 @@ class OnlineAdapter:
             return None
         t, c = self._ordered_window()
         return float(self._loss_fn(None, t[None], c[None]))
+
+
+@dataclasses.dataclass
+class OnlineSysIdConfig:
+    """Knobs for streaming physical-parameter tracking."""
+    fields: Tuple[str, ...] = ("E",)
+    window: int = 64
+    min_fill: int = 8
+    steps_per_update: int = 4
+    lr: float = 0.05            # log-space Adam — relative steps
+    keypoints: Tuple[int, ...] = DEFAULT_KEYPOINTS_FAST
+    seed: int = 0
+
+
+class OnlineSysId(_TelemetryRing):
+    """Streaming PHYSICAL-PARAMETER tracking over the telemetry window —
+    the grey-box sibling of :class:`OnlineAdapter`.
+
+    Where the adapter learns an opaque NN residual for whatever the plant
+    does that the model physics does not, this tracks the interpretable
+    physical parameters themselves (training/sysid.py machinery: traced
+    derived terms + log-space Adam on the same skip_first teacher loss).
+    Use it when the plant DRIFTS physically — material softening, payload
+    change, temperature — and you want the model to follow AND to read the
+    diagnosis off the estimate (e.g. "E dropped 40%": damage detection,
+    utils/health's domain-level complement).
+
+    >>> tracker = OnlineSysId(model_rod, OnlineSysIdConfig(fields=("E",)))
+    >>> for record, u in telemetry:
+    ...     tracker.observe(record, u)
+    ...     if tracker.ready:
+    ...         tracker.update()
+    >>> tracker.values()["E"]        # live estimate
+    >>> p_now = tracker.rod          # fully-derived fitted RodParams
+
+    The fitted ``rod`` is an ordinary RodParams pytree with unchanged
+    shapes, so jitted consumers that take the rod AS AN ARGUMENT (e.g.
+    ``jax.jit(simulate_scan)``) pick it up with no recompile; closures
+    that baked the rod in (MPCController binds it at construction) must
+    be rebuilt to adopt the new physics.
+    """
+
+    def __init__(self, p: RodParams, cfg: Optional[OnlineSysIdConfig] = None):
+        import optax as _optax
+
+        from .loss import teacher_forced_loss
+        from .sysid import apply_theta, theta_init, theta_values
+
+        self.p = p
+        self.cfg = cfg = cfg or OnlineSysIdConfig()
+        if cfg.steps_per_update < 1:
+            raise ValueError("steps_per_update must be >= 1")
+        super().__init__(p, cfg.window, cfg.min_fill)
+        self._theta_values = theta_values
+        self._apply_theta = apply_theta
+        self.theta = theta_init(p, cfg.fields)
+        self._optimizer = _optax.adam(cfg.lr)
+        self.opt_state = self._optimizer.init(self.theta)
+        spec = MLPSpec.for_knode()
+        kp = tuple(cfg.keypoints)
+
+        def loss_fn(theta, traj, ctrl):
+            return teacher_forced_loss(apply_theta(p, theta), spec, None,
+                                       traj, ctrl, kp, skip_first=True)
+
+        @jax.jit
+        def step(theta, opt_state, traj, ctrl):
+            val, g = jax.value_and_grad(loss_fn)(theta, traj, ctrl)
+            upd, opt_state = self._optimizer.update(g, opt_state, theta)
+            return _optax.apply_updates(theta, upd), opt_state, val
+
+        self._step = step
+        self._loss_fn = jax.jit(loss_fn)
+        self.updates = 0
+        self.last_loss: Optional[float] = None
+
+    def update(self) -> Optional[float]:
+        """cfg.steps_per_update log-space Adam steps on the current window;
+        optimizer state persists — one continuous estimation stream."""
+        if not self.ready:
+            return None
+        t, c = self._ordered_window()
+        for _ in range(self.cfg.steps_per_update):
+            self.theta, self.opt_state, loss = self._step(
+                self.theta, self.opt_state, t, c)
+        self.updates += 1
+        self.last_loss = float(loss)
+        return self.last_loss
+
+    def values(self):
+        """Current physical-space estimates per tracked field."""
+        return self._theta_values(self.theta)
+
+    @property
+    def rod(self) -> RodParams:
+        """Fully-derived RodParams at the current estimate."""
+        return self._apply_theta(self.p, self.theta)
+
+    def window_loss(self) -> Optional[float]:
+        """Loss of the CURRENT estimate on the window, without training."""
+        if not self.ready:
+            return None
+        t, c = self._ordered_window()
+        return float(self._loss_fn(self.theta, t, c))

@@ -208,3 +208,71 @@ def test_mpc_handoff_contract(adapted):
     assert np.all(np.isfinite(np.asarray(u0)))
     assert np.all(np.isfinite(np.asarray(u1)))
     assert ctl_r._step._cache_size() == 1
+
+
+def test_online_sysid_tracks_stiffness_drift():
+    """Streaming physical-parameter tracking (OnlineSysId): starting from
+    the 'youngs' fault the live E estimate converges to the plant's E;
+    when the plant's stiffness then drops 40% (material softening), the
+    estimate follows — interpretable drift/damage detection the opaque
+    residual cannot give."""
+    from knode_cosserat_tpu.core.params import derive, experimental_rod
+    from knode_cosserat_tpu.training.online import (OnlineSysId,
+                                                    OnlineSysIdConfig)
+
+    plant_a = experimental_rod()
+    E_a = float(np.asarray(plant_a.E))
+    ctl = calc_controls("sine", 1.0, float(plant_a.del_t), 60)
+    traj_a = np.asarray(simulate_scan(plant_a, jnp.asarray(ctl)).traj)
+
+    model = experimental_rod("youngs")          # starts 3.6x wrong
+    tr = OnlineSysId(model, OnlineSysIdConfig(fields=("E",), window=32,
+                                              min_fill=8,
+                                              steps_per_update=8, lr=0.1))
+    for t in range(60):
+        tr.observe(traj_a[t], ctl[t])
+        if tr.ready:
+            tr.update()
+    est_a = float(tr.values()["E"])
+    assert abs(np.log(est_a / E_a)) < 0.1, (est_a, E_a)
+    # fitted rod carries consistent derived terms
+    np.testing.assert_allclose(float(np.asarray(tr.rod.Kse[2, 2])),
+                               est_a * float(np.asarray(tr.rod.A)),
+                               rtol=1e-10)
+
+    # plant softens: E drops 40%
+    plant_b = derive(plant_a.replace(E=0.6 * E_a))
+    traj_b = np.asarray(simulate_scan(plant_b, jnp.asarray(ctl)).traj)
+    for t in range(60):
+        tr.observe(traj_b[t], ctl[t])
+        if tr.ready:
+            tr.update()
+    est_b = float(tr.values()["E"])
+    assert abs(np.log(est_b / (0.6 * E_a))) < 0.15, (est_b, 0.6 * E_a)
+    assert est_b < 0.8 * est_a                   # the drop was detected
+
+
+def test_online_sysid_validation_and_reset():
+    from knode_cosserat_tpu.core.params import experimental_rod
+    from knode_cosserat_tpu.training.online import (OnlineSysId,
+                                                    OnlineSysIdConfig)
+
+    model = experimental_rod("youngs")
+    with pytest.raises(ValueError, match="steps_per_update"):
+        OnlineSysId(model, OnlineSysIdConfig(steps_per_update=0))
+    with pytest.raises(ValueError, match="min_fill"):
+        OnlineSysId(model, OnlineSysIdConfig(window=4, min_fill=8))
+
+    tr = OnlineSysId(model, OnlineSysIdConfig(window=8, min_fill=4))
+    assert tr.update() is None                  # not ready
+    rec = np.zeros((int(model.N), 25))
+    rec[:, 2] = np.linspace(0, float(model.L), int(model.N))
+    rec[:, 3] = 1.0
+    rec[:, 21] = 1.0
+    for _ in range(4):
+        tr.observe(rec, np.full(4, 5.0))
+    assert tr.ready
+    tr.reset_buffer()
+    assert not tr.ready                         # buffer dropped...
+    same = tr.values()["E"]                     # ...estimate untouched
+    assert np.isfinite(same)
