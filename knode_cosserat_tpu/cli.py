@@ -205,6 +205,8 @@ def cmd_simulate_assembly(args):
 
 
 def cmd_multitrain(args):
+    import time as _time
+
     from .core.params import apply_mod
     from .evaluation.tables import evaluate_cells, format_table
     from .parallel.grid import build_grid, grid_train
@@ -222,19 +224,25 @@ def cmd_multitrain(args):
     cfg = TrainConfig(epochs=args.epochs, hidden=args.layers,
                       dtype=args.dtype)
     ref = apply_mod(None, original=args.original)
+    t0 = _time.perf_counter()
     res = grid_train(cells, cfg, reference_rod=ref, original=args.original,
                      mesh=_parse_mesh(args.mesh),
                      log=print if args.verbose else None)
+    t1 = _time.perf_counter()
     os.makedirs(args.save_dir, exist_ok=True)
     for cell, params in zip(res.cells, res.params):
         name = (f"{cell.data}_{cell.mod}_{cell.seed}").replace(" ", "-")
         save_checkpoint(os.path.join(args.save_dir, name),
                         {"params": params})
+    t2 = _time.perf_counter()
     if args.eval:
         records = evaluate_cells(res.cells, res.params, res.spec, eval_set,
                                  reference_rod=ref, original=args.original,
                                  save_dir=args.evals_dir)
         print(format_table(records))
+    t3 = _time.perf_counter()
+    print(f"phases: datagen+train {t1 - t0:.1f}s, save {t2 - t1:.1f}s, "
+          f"eval {t3 - t2:.1f}s")
 
 
 def cmd_graphs(args):
