@@ -241,8 +241,9 @@ def cmd_multitrain(args):
                                  save_dir=args.evals_dir)
         print(format_table(records))
     t3 = _time.perf_counter()
-    print(f"phases: datagen+train {t1 - t0:.1f}s, save {t2 - t1:.1f}s, "
-          f"eval {t3 - t2:.1f}s")
+    phases = (f"phases: datagen+train {t1 - t0:.1f}s, save {t2 - t1:.1f}s"
+              + (f", eval {t3 - t2:.1f}s" if args.eval else ""))
+    print(phases)
 
 
 def cmd_graphs(args):
@@ -512,8 +513,20 @@ def cmd_sysid(args):
     if args.data:
         data = np.load(args.data, allow_pickle=True)
         t = np.asarray(data["traj"])
-        if t.shape[-1] < 25 <= t.shape[1]:
-            t = np.moveaxis(t, 1, 2)   # reference (T, C, N) -> state-last
+        # disambiguate layout against the rod's node count: state-last is
+        # (T, N, C) with C in (25, 50); reference layout is (T, C, N)
+        N = int(p0.N)
+        if t.ndim != 3:
+            raise SystemExit(f"sysid: traj must be 3-D, got {t.shape}")
+        if t.shape[1] == N and t.shape[2] in (25, 50):
+            pass                                    # state-last
+        elif t.shape[1] in (25, 50) and t.shape[2] == N:
+            t = np.moveaxis(t, 1, 2)                # reference (T, C, N)
+        else:
+            raise SystemExit(
+                f"sysid: traj shape {t.shape} matches neither (T, N={N}, "
+                f"25|50) nor (T, 25|50, N={N}); check the file or --mod/"
+                "--original node count")
         traj = jnp.asarray(t[args.trim:, :, :25], dtype)
         controls = jnp.asarray(np.asarray(data["controls"])[args.trim:],
                                dtype)
@@ -527,9 +540,12 @@ def cmd_sysid(args):
         traj = simulate_scan(plant, controls).traj[:, :, :25]
         truth = theta_values(theta_init(plant, args.fit))
 
+    # external data windows start mid-motion (or at an unknown state):
+    # drop the fabricated first transition from the teacher loss there
     res = fit_rod_params(p0, traj, controls, fields=tuple(args.fit),
                          objective=args.objective, steps=args.steps,
-                         lr=args.lr, n_starts=args.n_starts)
+                         lr=args.lr, n_starts=args.n_starts,
+                         skip_first=bool(args.data))
     if args.n_starts > 1:
         print("start losses:",
               " ".join(f"{v:.3e}" for v in np.asarray(res.start_losses)))

@@ -81,8 +81,16 @@ def simulate_scan(
     differentiable: bool = False,
     remat: bool = False,
     extrapolate: bool = True,
+    initial: Optional[tuple] = None,
 ) -> SimOutput:
     """Jit-compatible rollout over a (T, 4) tension schedule.
+
+    initial: optional (y0 (N, 19), z0 (N, 6)) starting state instead of
+    the at-rest straight rod — e.g. the first frame of an observed
+    window (sysid's rollout objective) or a handed-over carry. The BDF-2
+    history seeds from the state itself (y_prev = y0), exact for an
+    at-rest start and first-step-approximate otherwise (same quirk as
+    the reference's rollout start, knode.py:58-77).
 
     Per step (knode.py:70-100): BDF-2 history yh = c1*y + c2*y_prev, Newton
     shooting solve for G warm-started from the previous step, then one final
@@ -104,7 +112,11 @@ def simulate_scan(
         # sum(r^2) < 1e-16 is unreachable in f32 — it would silently turn
         # every Newton solve into max_iter iterations; pick by dtype
         tol = 1e-16 if jnp.dtype(p.dtype) == jnp.float64 else 1e-10
-    y0, z0 = initial_state(p)
+    if initial is None:
+        y0, z0 = initial_state(p)
+    else:
+        y0 = jnp.asarray(initial[0], p.dtype)
+        z0 = jnp.asarray(initial[1], p.dtype)
     dtype = y0.dtype
     G0 = jnp.zeros(6, dtype)
     z_tip = z0[-1]  # frozen forever (see module docstring)

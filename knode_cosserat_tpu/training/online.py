@@ -37,7 +37,8 @@ import optax
 
 from ..core.params import RodParams
 from ..models.mlp import MLPSpec, init_mlp
-from .loss import DEFAULT_KEYPOINTS_FAST
+from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
+from .sysid import apply_theta, theta_init, theta_values
 from .train import make_train_step
 
 __all__ = ["OnlineConfig", "OnlineAdapter", "OnlineSysIdConfig",
@@ -268,20 +269,13 @@ class OnlineSysId(_TelemetryRing):
     """
 
     def __init__(self, p: RodParams, cfg: Optional[OnlineSysIdConfig] = None):
-        import optax as _optax
-
-        from .loss import teacher_forced_loss
-        from .sysid import apply_theta, theta_init, theta_values
-
         self.p = p
         self.cfg = cfg = cfg or OnlineSysIdConfig()
         if cfg.steps_per_update < 1:
             raise ValueError("steps_per_update must be >= 1")
         super().__init__(p, cfg.window, cfg.min_fill)
-        self._theta_values = theta_values
-        self._apply_theta = apply_theta
         self.theta = theta_init(p, cfg.fields)
-        self._optimizer = _optax.adam(cfg.lr)
+        self._optimizer = optax.adam(cfg.lr)
         self.opt_state = self._optimizer.init(self.theta)
         spec = MLPSpec.for_knode()
         kp = tuple(cfg.keypoints)
@@ -294,7 +288,7 @@ class OnlineSysId(_TelemetryRing):
         def step(theta, opt_state, traj, ctrl):
             val, g = jax.value_and_grad(loss_fn)(theta, traj, ctrl)
             upd, opt_state = self._optimizer.update(g, opt_state, theta)
-            return _optax.apply_updates(theta, upd), opt_state, val
+            return optax.apply_updates(theta, upd), opt_state, val
 
         self._step = step
         self._loss_fn = jax.jit(loss_fn)
@@ -316,12 +310,12 @@ class OnlineSysId(_TelemetryRing):
 
     def values(self):
         """Current physical-space estimates per tracked field."""
-        return self._theta_values(self.theta)
+        return theta_values(self.theta)
 
     @property
     def rod(self) -> RodParams:
         """Fully-derived RodParams at the current estimate."""
-        return self._apply_theta(self.p, self.theta)
+        return apply_theta(self.p, self.theta)
 
     def window_loss(self) -> Optional[float]:
         """Loss of the CURRENT estimate on the window, without training."""

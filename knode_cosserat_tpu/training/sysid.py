@@ -141,16 +141,24 @@ class SysIdResult:
 
 
 def _make_objective(p, traj, controls, objective, keypoints, spec,
-                    nn_params, method, tol, max_iter):
+                    nn_params, method, tol, max_iter, skip_first=False):
     """Shared scalar objective theta_dict -> loss for fitting and
-    identifiability analysis."""
+    identifiability analysis.
+
+    The rollout objective seeds the simulation from the OBSERVED first
+    frame (simulate_scan(initial=...)) — real windows start mid-motion,
+    and rolling out from the model's at-rest pose would attribute the
+    initial-state mismatch to the fitted parameters. The seed frame is
+    excluded from the MSE (it matches by construction).
+    """
 
     def loss_fn(theta):
         p_t = apply_theta(p, theta["phys"])
         nnp = theta.get("nn", nn_params)
         if objective == "teacher":
             per = jax.vmap(lambda tr, ct: teacher_forced_loss(
-                p_t, spec, nnp, tr, ct, keypoints))(traj, controls)
+                p_t, spec, nnp, tr, ct, keypoints,
+                skip_first=skip_first))(traj, controls)
             return jnp.mean(per)
         nn_fn = None
         if nnp is not None:
@@ -160,12 +168,42 @@ def _make_objective(p, traj, controls, objective, keypoints, spec,
             sim = simulate_scan(p_t, ct, nn_fn=nn_fn,
                                 nn_history=spec.history, method=method,
                                 tol=tol, max_iter=max_iter,
-                                differentiable=True, remat=True)
-            return jnp.mean((sim.traj[:, :, :3] - tr[:, :, :3]) ** 2)
+                                differentiable=True, remat=True,
+                                initial=(tr[0, :, :19], tr[0, :, 19:]))
+            return jnp.mean((sim.traj[1:, :, :3] - tr[1:, :, :3]) ** 2)
 
         return jnp.mean(jax.vmap(one)(traj, controls))
 
     return loss_fn
+
+
+def _best_start(final_losses: jnp.ndarray) -> jnp.ndarray:
+    """Index of the winning restart. NaN final losses (diverged starts —
+    exactly what multi-start exists to survive) are treated as +inf;
+    a bare jnp.argmin would RETURN the NaN index."""
+    clean = jnp.where(jnp.isnan(final_losses), jnp.inf, final_losses)
+    return jnp.argmin(clean)
+
+
+def _flatten_theta(theta):
+    """(vec0, labels, unpack) for a transform-space theta dict — the one
+    packing used by both identifiability() and design_experiment()."""
+    labels = []
+    for name in sorted(theta):          # tree.flatten order (sorted keys)
+        n = int(np.prod(jnp.shape(theta[name]))) or 1
+        labels += [name] if n == 1 else [f"{name}[{i}]" for i in range(n)]
+    leaves, treedef = jax.tree.flatten(theta)
+    sizes = [int(np.prod(jnp.shape(l))) or 1 for l in leaves]
+    vec0 = jnp.concatenate([jnp.ravel(l) for l in leaves])
+
+    def unpack(v):
+        out, off = [], 0
+        for leaf, n in zip(leaves, sizes):
+            out.append(jnp.reshape(v[off:off + n], jnp.shape(leaf)))
+            off += n
+        return jax.tree.unflatten(treedef, out)
+
+    return vec0, labels, unpack
 
 
 def fit_rod_params(
@@ -189,6 +227,7 @@ def fit_rod_params(
     n_starts: int = 1,
     start_scale: float = 0.25,
     key: Optional[jax.Array] = None,
+    skip_first: bool = False,
 ) -> SysIdResult:
     """Fit physical rod parameters to observed trajectories.
 
@@ -212,6 +251,12 @@ def fit_rod_params(
         relative to their magnitude) by ``start_scale``; the start with
         the lowest final objective wins. Same pattern as the multi-start
         MPC planner (control/mpc.make_multistart_planner).
+      skip_first: drop the first transition from the teacher loss — set
+        True for data that starts MID-MOTION (trimmed real windows),
+        where the fabricated self-prev BDF-2 history of the first step
+        would bias the fit (same quirk OnlineAdapter handles; the
+        rollout objective is unaffected — it seeds from the observed
+        first frame either way).
 
     Returns a :class:`SysIdResult`; the whole fit is one jitted program
     (all starts train concurrently under vmap).
@@ -248,7 +293,8 @@ def fit_rod_params(
         opt = optimizer
 
     loss_fn = _make_objective(p, traj, controls, objective, keypoints,
-                              spec, nn_params, method, tol, max_iter)
+                              spec, nn_params, method, tol, max_iter,
+                              skip_first=skip_first)
 
     def run(theta):
         opt_state = opt.init(theta)
@@ -293,7 +339,7 @@ def fit_rod_params(
                                            (n_starts,) + jnp.shape(a)),
                 theta0["nn"])
         theta_fit_b, hist_b, final_b = jax.jit(jax.vmap(run))(theta_batch)
-        best = jnp.argmin(final_b)
+        best = _best_start(final_b)
         theta_fit = jax.tree.map(lambda a: a[best], theta_fit_b)
         hist = hist_b[best]
         start_losses = final_b
@@ -354,6 +400,7 @@ def identifiability(
     method: str = "euler",
     tol: Optional[float] = None,
     max_iter: int = 50,
+    skip_first: bool = False,
 ) -> IdentifiabilityReport:
     """Curvature-based local identifiability of ``fields`` at ``p``.
 
@@ -373,23 +420,14 @@ def identifiability(
         controls = controls[None]
 
     theta = theta_init(p, fields)
-    labels, sizes = [], []
-    for name in sorted(theta):          # tree.flatten order
-        n = int(np.prod(jnp.shape(theta[name]))) or 1
-        sizes.append(n)
-        labels += [name] if n == 1 else [f"{name}[{i}]" for i in range(n)]
-    leaves, treedef = jax.tree.flatten(theta)
-    vec0 = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    vec0, labels, unpack = _flatten_theta(theta)
 
     loss_fn = _make_objective(p, traj, controls, objective, keypoints,
-                              spec, nn_params, method, tol, max_iter)
+                              spec, nn_params, method, tol, max_iter,
+                              skip_first=skip_first)
 
     def loss_of_vec(v):
-        out, off = [], 0
-        for leaf, n in zip(leaves, sizes):
-            out.append(jnp.reshape(v[off:off + n], jnp.shape(leaf)))
-            off += n
-        return loss_fn({"phys": jax.tree.unflatten(treedef, out)})
+        return loss_fn({"phys": unpack(v)})
 
     H = np.asarray(jax.jit(jax.hessian(loss_of_vec))(vec0), np.float64)
     H = 0.5 * (H + H.T)
@@ -461,18 +499,9 @@ def design_experiment(
     if criterion not in ("D", "E"):
         raise ValueError(f"unknown criterion {criterion!r} (want 'D' or 'E')")
     theta = theta_init(p, fields)
-    leaves, treedef = jax.tree.flatten(theta)
-    sizes = [int(np.prod(jnp.shape(l))) or 1 for l in leaves]
-    vec0 = jnp.concatenate([jnp.ravel(l) for l in leaves])
+    vec0, _, unpack = _flatten_theta(theta)
     spec = MLPSpec.for_knode()
     dtype = p.dtype
-
-    def unpack(v):
-        out, off = [], 0
-        for leaf, n in zip(leaves, sizes):
-            out.append(jnp.reshape(v[off:off + n], jnp.shape(leaf)))
-            off += n
-        return jax.tree.unflatten(treedef, out)
 
     def fisher(u):
         sim = simulate_scan(p, u, method=method, tol=tol, max_iter=max_iter,

@@ -182,6 +182,36 @@ def test_identifiability_flags_E_r_degeneracy():
     assert rep3.labels == ["Bbt[0]", "Bbt[1]", "Bbt[2]"]
 
 
+def test_best_start_ignores_nan():
+    """A diverged restart (NaN final loss) must never win the multi-start
+    selection — jnp.argmin alone would return the NaN index."""
+    from knode_cosserat_tpu.training.sysid import _best_start
+    assert int(_best_start(jnp.asarray([1.0, jnp.nan, 0.5]))) == 2
+    assert int(_best_start(jnp.asarray([jnp.nan, jnp.nan, 2.0]))) == 2
+    assert int(_best_start(jnp.asarray([3.0, 1.0, 2.0]))) == 1
+
+
+def test_rollout_objective_from_mid_motion_window():
+    """The rollout objective seeds from the OBSERVED first frame: a
+    trimmed window that starts mid-motion must still recover the damping
+    fault (before the fix, the model rolled out from rest and gradients
+    attributed the initial-state mismatch to Bbt)."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=32)
+    window_t, window_c = traj[10:30], ctl[10:30]   # mid-motion
+    p0 = experimental_rod("damping", dtype=jnp.float64)
+    res = fit_rod_params(p0, window_t, window_c, fields=("Bbt",),
+                         objective="rollout", steps=60, lr=0.2)
+    b_fit = float(res.values["Bbt"][0])
+    b_true = float(np.asarray(p_true.Bbt[0, 0]))
+    assert abs(np.log(b_fit / b_true)) < 0.35, (b_fit, b_true)
+    # skip_first variant of the teacher objective also runs on the window
+    res2 = fit_rod_params(p0, window_t, window_c, fields=("Bbt",),
+                          objective="teacher", steps=30, lr=0.2,
+                          skip_first=True)
+    assert np.isfinite(np.asarray(res2.loss_history)).all()
+
+
 def test_design_experiment_gains_information():
     """D-optimal input design: starting from a near-static mid-range
     schedule (which carries almost no damping information), the designed
