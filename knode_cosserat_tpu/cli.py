@@ -163,7 +163,13 @@ def cmd_simulate(args):
     else:
         traj = np.asarray(simulate(p, controls))
     os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
-    np.savez_compressed(args.save, traj=traj, controls=controls)
+    extra = {}
+    if args.energy:
+        from .core.energy import energy_summary, rod_energies
+        extra = {f"energy_{k}": np.asarray(v)
+                 for k, v in rod_energies(p, traj).items()}
+        print(energy_summary(p, traj))
+    np.savez_compressed(args.save, traj=traj, controls=controls, **extra)
     print(f"saved {args.save}: traj {traj.shape}")
     if args.gif:
         from .viz.visualizer import ContinuumRobotVisualizer
@@ -596,6 +602,9 @@ def main(argv=None):
                          "with --model for hybrid rollouts")
     sp.add_argument("--save", type=str, default="data/quick_test.npz")
     sp.add_argument("--gif", type=str, default=None)
+    sp.add_argument("--energy", action="store_true",
+                    help="print + save mechanical-energy budgets "
+                         "(core/energy.py)")
     sp.set_defaults(fn=cmd_simulate)
 
     sp = sub.add_parser("simulate-assembly",

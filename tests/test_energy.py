@@ -1,0 +1,73 @@
+"""Energy-budget validation (core/energy.py).
+
+These are end-to-end PHYSICS checks on the whole BDF-2 + shooting stack,
+independent of the golden-trajectory oracles: a released (zero-tension)
+rod has only dissipative non-conservative terms (material damping Bse/Bbt,
+square-law drag C), so its total mechanical energy must decrease
+monotonically — any solver bug that pumps energy fails here even if it
+matches no golden file.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from knode_cosserat_tpu.controls import calc_controls
+from knode_cosserat_tpu.core.energy import energy_summary, rod_energies
+from knode_cosserat_tpu.core.params import experimental_rod
+from knode_cosserat_tpu.core.stepper import initial_state, simulate_scan
+
+
+def test_rest_rod_energies_analytic():
+    """Straight rod at rest: zero elastic (v = v*, u = 0), zero kinetic,
+    potential = rhoA g L^2 / 2 (trapezoid over z in [0, L] is exact for
+    the linear integrand)."""
+    p = experimental_rod(dtype=jnp.float64)
+    y0, z0 = initial_state(p)
+    traj = jnp.concatenate([y0, z0], axis=-1)[None]    # (1, N, 25)
+    e = rod_energies(p, traj)
+    assert float(e["elastic"][0]) == pytest.approx(0.0, abs=1e-12)
+    assert float(e["kinetic"][0]) == pytest.approx(0.0, abs=1e-12)
+    rhoA = float(np.asarray(p.rhoA))
+    L = float(np.asarray(p.L))
+    assert float(e["potential"][0]) == pytest.approx(
+        rhoA * 9.81 * L ** 2 / 2, rel=1e-10)
+
+
+def test_released_rod_dissipates_monotonically():
+    """Drive the rod with sine tensions, then release (zero tension,
+    continuing from the final state via simulate_scan(initial=)): with
+    tendons slack every non-conservative term is dissipative, so total
+    mechanical energy must be non-increasing."""
+    p = experimental_rod(dtype=jnp.float64)
+    ctl = jnp.asarray(calc_controls("sine", 1.0, float(p.del_t), 30),
+                      p.dtype)
+    driven = simulate_scan(p, ctl)
+    y_end = driven.traj[-1, :, :19]
+    z_end = driven.traj[-1, :, 19:25]
+
+    release = simulate_scan(p, jnp.zeros((60, 4), p.dtype),
+                            initial=(y_end, z_end))
+    e = rod_energies(p, release.traj)
+    total = np.asarray(e["total"])
+    assert np.all(np.isfinite(total))
+    # skip the first 2 steps: the restarted BDF-2 history is self-seeded
+    # (the reference quirk), an approximation that can wiggle step 1
+    d = np.diff(total[2:])
+    tol = 1e-10 * np.max(np.abs(total))
+    assert np.all(d <= tol), (d.max(), tol)
+    # and it genuinely dissipates, not just stays constant
+    assert total[-1] < total[2] - 1e-6 * abs(total[2])
+
+
+def test_energy_validation_and_summary():
+    p = experimental_rod(dtype=jnp.float64)
+    with pytest.raises(ValueError, match="traj"):
+        rod_energies(p, jnp.zeros((4, 10)))
+    ctl = jnp.asarray(calc_controls("sine", 1.0, float(p.del_t), 6), p.dtype)
+    out = simulate_scan(p, ctl)
+    s = energy_summary(p, out.traj)          # 50-channel rows accepted
+    assert "elastic" in s and "->" in s
+    e = rod_energies(p, out.traj)
+    assert e["total"].shape == (6,)
+    # driving with tension raises total mechanical energy above rest
+    assert float(e["total"][-1]) > float(e["total"][0]) - 1e-9
