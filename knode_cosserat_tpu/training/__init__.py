@@ -7,6 +7,7 @@ from .online import (OnlineAdapter, OnlineConfig, OnlineSysId,
                      OnlineSysIdConfig)
 from .sysid import (SysIdResult, fit_rod_params, apply_theta, theta_init,
                     theta_values, FITTABLE_FIELDS, IdentifiabilityReport,
-                    identifiability, DesignResult, design_experiment)
+                    identifiability, DesignResult, design_experiment,
+                    LaplacePosterior, laplace_posterior, sample_posterior)
 from .train import (TrainConfig, TrainResult, train_knode, make_train_step,
                     make_epoch_scan, make_optimizer, rollout_with_nn)

@@ -46,7 +46,8 @@ from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
 
 __all__ = ["FITTABLE_FIELDS", "theta_init", "apply_theta", "theta_values",
            "SysIdResult", "fit_rod_params", "IdentifiabilityReport",
-           "identifiability", "DesignResult", "design_experiment"]
+           "identifiability", "DesignResult", "design_experiment",
+           "LaplacePosterior", "laplace_posterior", "sample_posterior"]
 
 # field -> parameterization. log: positive scalar fitted as log(x);
 # logdiag: (3,3) diagonal matrix fitted as log of its diagonal;
@@ -556,3 +557,94 @@ def design_experiment(
     return DesignResult(controls=u_fit, objective_history=hist,
                         info_initial=float(-hist[0]),
                         info_final=float(info_f))
+
+
+@dataclasses.dataclass
+class LaplacePosterior:
+    """Scaled Laplace approximation of the parameter posterior at a fit.
+
+    Unlike IdentifiabilityReport's UNSCALED covariance, this one carries
+    physical units: under an iid Gaussian position-noise model for the
+    rollout objective (MSE L over n scalar position residuals, noise
+    variance sigma^2), the negative log-likelihood is (n / 2 sigma^2) L,
+    so the posterior covariance is (2 sigma^2 / n) H_L^-1 with
+    sigma^2 estimated as L * n / (n - d) at the minimum.
+
+    All theta-space quantities are in TRANSFORM space (log for positive
+    scalars — std is then a RELATIVE one-sigma, e.g. std 0.02 on log E
+    means +/-2% on E).
+    """
+    labels: list
+    theta: Dict[str, jnp.ndarray]     # posterior mean (the fit)
+    covariance: np.ndarray            # (D, D), transform space, SCALED
+    std: np.ndarray                   # sqrt(diag)
+    sigma2: float                     # estimated position-noise variance
+    n_residuals: int
+
+
+def laplace_posterior(
+    p: RodParams,
+    traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    fields: Sequence[str] = ("E",),
+    *,
+    keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
+    method: str = "euler",
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+) -> LaplacePosterior:
+    """Scaled parameter posterior at ``p`` (call on a fitted
+    ``res.params``) under the ROLLOUT objective's position-noise model.
+
+    The teacher objective is deliberately NOT supported here: it sums
+    four heterogeneous MSE terms (positions, internal states, Euler
+    angles, strains) with no single noise scale, so a scalar sigma^2
+    would be fiction. Its curvature is still available unscaled via
+    :func:`identifiability`.
+    """
+    traj = jnp.asarray(traj, p.dtype)
+    controls = jnp.asarray(controls, p.dtype)
+    if traj.ndim == 3:
+        traj = traj[None]
+        controls = controls[None]
+    theta = theta_init(p, fields)
+    B, T, N = traj.shape[0], traj.shape[1], traj.shape[2]
+    n = B * (T - 1) * N * 3          # scored position residuals
+    d = int(sum(int(np.prod(jnp.shape(t))) or 1 for t in theta.values()))
+    if n <= d:
+        raise ValueError(f"need more residuals ({n}) than parameters ({d})")
+    rep = identifiability(p, traj, controls, fields, objective="rollout",
+                          keypoints=keypoints, method=method, tol=tol,
+                          max_iter=max_iter)
+    loss_fn = _make_objective(p, traj, controls, "rollout", keypoints,
+                              MLPSpec.for_knode(), None, method, tol,
+                              max_iter)
+    L = float(loss_fn({"phys": theta}))
+    sigma2 = L * n / (n - d)
+    cov = (2.0 * sigma2 / n) * np.linalg.pinv(rep.hessian)
+    std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
+    return LaplacePosterior(labels=rep.labels, theta=theta,
+                            covariance=cov, std=std, sigma2=sigma2,
+                            n_residuals=n)
+
+
+def sample_posterior(
+    p: RodParams,
+    post: LaplacePosterior,
+    key: jax.Array,
+    n_samples: int = 20,
+) -> RodParams:
+    """Draw parameter samples from the Laplace posterior and return a
+    STACKED RodParams pytree (leading sample axis) — feed it straight to
+    ``jax.vmap(simulate_scan, in_axes=(0, None))`` for predictive
+    ensembles / tip-trajectory uncertainty bands."""
+    vec0, _, unpack = _flatten_theta(post.theta)
+    D = vec0.shape[0]
+    cov = np.asarray(post.covariance, np.float64)
+    # jittered Cholesky: the E-r style degenerate directions make cov
+    # singular-ish; the jitter floor keeps sampling defined there
+    jitter = 1e-12 * max(1.0, float(np.trace(cov)) / max(D, 1))
+    Lc = np.linalg.cholesky(cov + jitter * np.eye(D))
+    eps = jax.random.normal(key, (n_samples, D), vec0.dtype)
+    vecs = vec0[None, :] + eps @ jnp.asarray(Lc.T, vec0.dtype)
+    return jax.vmap(lambda v: apply_theta(p, unpack(v)))(vecs)

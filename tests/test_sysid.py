@@ -242,6 +242,42 @@ def test_design_experiment_e_criterion_and_warm_start():
     assert res.info_final >= res.info_initial
 
 
+def test_laplace_posterior_and_sampling():
+    """Scaled Laplace posterior: std grows with observation noise, and
+    posterior samples roll out as a predictive ensemble whose tip spread
+    brackets the fit."""
+    from knode_cosserat_tpu.training.sysid import (laplace_posterior,
+                                                   sample_posterior)
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=20)
+    k = jax.random.PRNGKey(5)
+    lo = traj + 1e-5 * jax.random.normal(k, traj.shape, traj.dtype)
+    hi = traj + 1e-3 * jax.random.normal(k, traj.shape, traj.dtype)
+
+    post_lo = laplace_posterior(p_true, lo, ctl, fields=("E",))
+    post_hi = laplace_posterior(p_true, hi, ctl, fields=("E",))
+    assert post_lo.labels == ["E"]
+    assert post_lo.std[0] > 0 and post_hi.std[0] > 0
+    # 100x noise amplitude -> ~100x relative-std (same Hessian, sigma2
+    # scales with noise^2); allow slack for the noise realizations
+    assert post_hi.std[0] > 10 * post_lo.std[0]
+    assert post_hi.sigma2 > post_lo.sigma2
+
+    rods = sample_posterior(p_true, post_hi, jax.random.PRNGKey(6),
+                            n_samples=8)
+    Es = np.asarray(rods.E)
+    assert Es.shape == (8,)
+    assert np.all(Es > 0) and np.std(Es) > 0
+    # sampled rods drive a vmapped predictive ensemble
+    sims = jax.vmap(lambda r: simulate_scan(r, ctl).traj)(rods)
+    tips = np.asarray(sims[:, :, -1, 0:3])
+    assert np.all(np.isfinite(tips))
+    assert tips.std(axis=0).max() > 0        # ensemble actually spreads
+
+    with pytest.raises(ValueError, match="more residuals"):
+        laplace_posterior(p_true, traj[:1], ctl[:1], fields=("E",))
+
+
 def test_batched_trajectories_and_validation():
     p_true = experimental_rod(dtype=jnp.float64)
     t1, c1 = _observed(p_true, T=12)
