@@ -566,6 +566,34 @@ def cmd_sysid(args):
         print(line)
 
 
+def cmd_design(args):
+    import jax
+    if args.dtype == "float64":
+        jax.config.update("jax_enable_x64", True)
+        if not os.environ.get("KNODE_PLATFORM"):
+            jax.config.update("jax_platforms", "cpu")  # see cmd_sysid
+    import jax.numpy as jnp
+
+    from .core.params import apply_mod
+    from .training.sysid import design_experiment
+
+    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    p = apply_mod(args.mod, original=args.original, dtype=dtype)
+    res = design_experiment(p, fields=tuple(args.fit), horizon=args.horizon,
+                            criterion=args.criterion, u_min=args.u_min,
+                            u_max=args.u_max, steps=args.steps, lr=args.lr)
+    crit = ("log det Fisher" if args.criterion == "D"
+            else "min Fisher eigenvalue")
+    print(f"{crit}: {res.info_initial:.3f} -> {res.info_final:.3f} "
+          f"({args.steps} steps, fields {' '.join(args.fit)})")
+    os.makedirs(os.path.dirname(args.save) or ".", exist_ok=True)
+    np.savez_compressed(args.save, controls=np.asarray(res.controls),
+                        objective_history=np.asarray(res.objective_history))
+    print(f"saved {args.save}: controls {res.controls.shape} — run it with "
+          f"`simulate --real_data {args.save}` or on the physical rig, "
+          "then `sysid --data ...`")
+
+
 def main(argv=None):
     # honor an explicit platform request (the axon TPU plugin ignores
     # JAX_PLATFORMS, so we route through jax.config)
@@ -692,6 +720,23 @@ def main(argv=None):
                          "uses 100, train_segment.py:36)")
     sp.add_argument("--dtype", type=str, default="float64")
     sp.set_defaults(fn=cmd_sysid)
+
+    sp = sub.add_parser(
+        "design", help="Fisher-optimal input design for sysid")
+    sp.add_argument("--fit", nargs="+", default=["E"],
+                    help="parameters the experiment should inform")
+    sp.add_argument("--mod", type=str, default=None,
+                    help="nominal rod the design linearizes around")
+    sp.add_argument("--original", action="store_true")
+    sp.add_argument("--horizon", type=int, default=30)
+    sp.add_argument("--criterion", choices=("D", "E"), default="D")
+    sp.add_argument("--u_min", type=float, default=0.0)
+    sp.add_argument("--u_max", type=float, default=10.0)
+    sp.add_argument("--steps", type=int, default=100)
+    sp.add_argument("--lr", type=float, default=0.2)
+    sp.add_argument("--save", type=str, default="data/designed_controls.npz")
+    sp.add_argument("--dtype", type=str, default="float64")
+    sp.set_defaults(fn=cmd_design)
 
     sp = sub.add_parser("train-real", help="real-data KNODE training")
     sp.add_argument("--data", type=str, default="sinesine")

@@ -327,6 +327,23 @@ def test_cli_sysid(tmp_path):
     assert "E:" in out.stdout
 
 
+def test_cli_design(tmp_path):
+    """`knode design`: Fisher-optimal input design saves a schedule that
+    `sysid --data`-compatible tooling can consume."""
+    env = dict(os.environ)
+    env["KNODE_PLATFORM"] = "cpu"
+    out = subprocess.run(
+        [sys.executable, "-m", "knode_cosserat_tpu", "design",
+         "--fit", "E", "--horizon", "6", "--steps", "5",
+         "--save", str(tmp_path / "des.npz")],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "Fisher" in out.stdout
+    d = np.load(tmp_path / "des.npz")
+    assert d["controls"].shape == (6, 4)
+    assert np.isfinite(d["objective_history"]).all()
+
+
 def test_cli_train_tiny(tmp_path):
     env = dict(os.environ)
     env["KNODE_PLATFORM"] = "cpu"
