@@ -217,6 +217,33 @@ def measure_extras(ref, golden_trajs, golden_ctls):
         extras["assembly_batched_steps_per_sec_b256"] = round(
             Ba * (T - 1) / dt)
 
+    # --- sysid: teacher-objective Adam steps/s (f32, one jitted scan) ---
+    # regression metric for the identification subsystem (training/sysid):
+    # plant = reference rod, model = 'youngs' fault, fit log E.
+    if not on_cpu:
+        from knode_cosserat_tpu.core.params import experimental_rod
+        from knode_cosserat_tpu.training.sysid import fit_rod_params
+        ps_true = experimental_rod(dtype=jnp.float32)
+        s_ctl = jnp.asarray(ctls[0][:30], jnp.float32)
+        s_traj = jax.jit(lambda c: simulate_scan(ps_true, c).traj)(
+            s_ctl)[:, :, :25]
+        p_fault = experimental_rod("youngs", dtype=jnp.float32)
+        SYS_STEPS = 200
+
+        def _sysid_run():
+            return fit_rod_params(p_fault, s_traj, s_ctl, fields=("E",),
+                                  steps=SYS_STEPS, lr=0.1).loss_history
+
+        _sysid_run()                              # populate compile cache
+        t0 = time.perf_counter()
+        hist = _sysid_run()
+        dt = time.perf_counter() - t0
+        # end-to-end wall of a 200-step E-fit (each call re-traces the
+        # fresh jit closure; XLA compile is cache-hit) — the user-visible
+        # "how long does an identification run take" regression number
+        if np.isfinite(np.asarray(hist)).all():
+            extras["sysid_fit200_wall_s"] = round(dt, 2)
+
     # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
     from knode_cosserat_tpu.serving import CompiledStepper
     stepper = CompiledStepper(p10, fast=not on_cpu)
