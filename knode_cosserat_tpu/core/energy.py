@@ -105,6 +105,15 @@ def assembly_energies(asm, traj: jnp.ndarray,
     plate_pose = jnp.asarray(plate_pose)
     if traj.ndim != 4 or traj.shape[-1] < 25:
         raise ValueError(f"traj must be (T, M, N, >=25), got {traj.shape}")
+    if getattr(asm.plate, "has_contact", False):
+        # the smoothed penalty k*softplus(-beta*gap)/beta stores energy
+        # whose antiderivative is a dilogarithm — not counted here, so the
+        # dissipation identity would be silently wrong during contact
+        raise ValueError(
+            "assembly_energies does not support contact assemblies: the "
+            "smoothed plane-contact springs store energy this budget "
+            "does not count (non-elementary potential). Evaluate the "
+            "contact-free system, or a far plane before contact.")
     rods = asm.rods
     dtype = jnp.asarray(rods.del_t).dtype
     x = jnp.moveaxis(traj[..., :25], 1, 0).astype(dtype)   # (M, T, N, 25)

@@ -270,9 +270,10 @@ def fit_rod_params(
     if traj.ndim == 3:
         traj = traj[None]
         controls = controls[None]
-    if traj.ndim != 4 or controls.ndim != 3:
-        raise ValueError("traj must be (T, N, 25) or (B, T, N, 25) with "
-                         "matching controls")
+    if traj.ndim != 4 or traj.shape[-1] < 25 or controls.ndim != 3:
+        raise ValueError("traj must be (T, N, >=25) or (B, T, N, >=25) "
+                         "with matching controls")
+    traj = traj[..., :25]            # SimOutput rows carry 50 channels
     if fit_nn and nn_params is None:
         raise ValueError("fit_nn=True requires initial nn_params "
                          "(models.mlp.init_mlp)")
@@ -386,6 +387,9 @@ class IdentifiabilityReport:
     correlation: np.ndarray
     eigvals: np.ndarray
     eigvecs: np.ndarray
+    # objective value at the analysis point (reused by laplace_posterior
+    # for the noise-scale estimate — no second rollout compile)
+    loss_value: float = 0.0
 
 
 def identifiability(
@@ -419,6 +423,10 @@ def identifiability(
     if traj.ndim == 3:
         traj = traj[None]
         controls = controls[None]
+    if traj.ndim != 4 or traj.shape[-1] < 25:
+        raise ValueError(f"traj must be (T, N, >=25) or batched, got "
+                         f"{traj.shape}")
+    traj = traj[..., :25]            # SimOutput rows carry 50 channels
 
     theta = theta_init(p, fields)
     vec0, labels, unpack = _flatten_theta(theta)
@@ -432,6 +440,7 @@ def identifiability(
 
     H = np.asarray(jax.jit(jax.hessian(loss_of_vec))(vec0), np.float64)
     H = 0.5 * (H + H.T)
+    Lval = float(jax.jit(loss_of_vec)(vec0))
     cov = np.linalg.pinv(H)
     std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
     denom = np.outer(std, std)
@@ -441,7 +450,7 @@ def identifiability(
     return IdentifiabilityReport(labels=labels, hessian=H,
                                  covariance_unscaled=cov,
                                  std_unscaled=std, correlation=corr,
-                                 eigvals=w, eigvecs=V)
+                                 eigvals=w, eigvecs=V, loss_value=Lval)
 
 
 @dataclasses.dataclass
@@ -607,6 +616,12 @@ def laplace_posterior(
     if traj.ndim == 3:
         traj = traj[None]
         controls = controls[None]
+    if traj.ndim != 4 or traj.shape[-1] < 25 or controls.ndim != 3 \
+            or controls.shape[0] != traj.shape[0]:
+        raise ValueError("traj must be (T, N, >=25) or (B, T, N, >=25) "
+                         "with matching controls; got "
+                         f"{traj.shape} / {controls.shape}")
+    traj = traj[..., :25]            # SimOutput rows carry 50 channels
     theta = theta_init(p, fields)
     B, T, N = traj.shape[0], traj.shape[1], traj.shape[2]
     n = B * (T - 1) * N * 3          # scored position residuals
@@ -616,12 +631,9 @@ def laplace_posterior(
     rep = identifiability(p, traj, controls, fields, objective="rollout",
                           keypoints=keypoints, method=method, tol=tol,
                           max_iter=max_iter)
-    loss_fn = _make_objective(p, traj, controls, "rollout", keypoints,
-                              MLPSpec.for_knode(), None, method, tol,
-                              max_iter)
-    L = float(loss_fn({"phys": theta}))
+    L = rep.loss_value               # evaluated jitted inside the report
     sigma2 = L * n / (n - d)
-    cov = (2.0 * sigma2 / n) * np.linalg.pinv(rep.hessian)
+    cov = (2.0 * sigma2 / n) * rep.covariance_unscaled
     std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
     return LaplacePosterior(labels=rep.labels, theta=theta,
                             covariance=cov, std=std, sigma2=sigma2,
@@ -642,8 +654,12 @@ def sample_posterior(
     D = vec0.shape[0]
     cov = np.asarray(post.covariance, np.float64)
     # jittered Cholesky: the E-r style degenerate directions make cov
-    # singular-ish; the jitter floor keeps sampling defined there
-    jitter = 1e-12 * max(1.0, float(np.trace(cov)) / max(D, 1))
+    # singular-ish. The jitter is RELATIVE to the covariance scale (an
+    # absolute floor would swamp very tight posteriors and inflate the
+    # sample spread beyond post.std); an exactly-zero cov falls back to
+    # a degenerate (all-mean) ensemble via a tiny absolute epsilon.
+    scale = float(np.trace(cov)) / max(D, 1)
+    jitter = 1e-12 * scale if scale > 0 else 1e-300
     Lc = np.linalg.cholesky(cov + jitter * np.eye(D))
     eps = jax.random.normal(key, (n_samples, D), vec0.dtype)
     vecs = vec0[None, :] + eps @ jnp.asarray(Lc.T, vec0.dtype)

@@ -106,3 +106,21 @@ def test_assembly_release_dissipates():
     # plate terms are populated and finite
     assert np.all(np.isfinite(np.asarray(e["plate_kinetic"])))
     assert float(np.asarray(e["plate_potential"])[0]) != 0.0
+
+
+def test_assembly_energies_refuses_contact():
+    """The smoothed contact springs store energy the budget does not
+    count; a contact assembly must be refused instead of reporting a
+    silently-wrong dissipation identity."""
+    import jax.numpy as jnp2
+
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  with_contact_plane)
+    from knode_cosserat_tpu.core.energy import assembly_energies
+
+    asm = make_ring_assembly(n_rods=2, base_radius=0.04, N=6,
+                             plate_mass=0.05, dtype=jnp.float64)
+    asm_c = with_contact_plane(asm, np.array([0.0, -1.0, 0.0]), -0.2)
+    with pytest.raises(ValueError, match="contact"):
+        assembly_energies(asm_c, jnp2.zeros((3, 2, 6, 25)),
+                          jnp2.zeros((3, 7)))

@@ -308,6 +308,24 @@ def test_design_collect_fit_loop():
     assert e_design <= e_static + 1e-9, (e_design, e_static)
 
 
+def test_accepts_50_channel_simoutput_rows():
+    """SimOutput.traj rows carry 50 channels ([y, z, yh, zh]); the sysid
+    entry points must slice to the 25 state channels instead of silently
+    reading history channels as z targets."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    ctl = jnp.asarray(calc_controls("sine", 1.0, float(p_true.del_t), 12),
+                      p_true.dtype)
+    full = simulate_scan(p_true, ctl).traj            # (T, N, 50)
+    p0 = experimental_rod("youngs", dtype=jnp.float64)
+    r50 = fit_rod_params(p0, full, ctl, fields=("E",), steps=30, lr=0.1)
+    r25 = fit_rod_params(p0, full[:, :, :25], ctl, fields=("E",),
+                         steps=30, lr=0.1)
+    np.testing.assert_allclose(float(r50.values["E"]),
+                               float(r25.values["E"]), rtol=1e-12)
+    rep = identifiability(p_true, full, ctl, fields=("E",))
+    assert np.isfinite(rep.hessian).all()
+
+
 def test_batched_trajectories_and_validation():
     p_true = experimental_rod(dtype=jnp.float64)
     t1, c1 = _observed(p_true, T=12)
