@@ -87,6 +87,23 @@ def main():
           f"designed schedule oscillates (per-tendon std "
           f"{u.std(axis=0).mean():.2f} N) instead of holding static")
 
+    # --- uncertainty: scaled posterior -> predictive tip ensemble --------
+    import jax as _jax
+
+    from knode_cosserat_tpu.training.sysid import (laplace_posterior,
+                                                   sample_posterior)
+    noisy = traj[:20] + 1e-4 * _jax.random.normal(
+        _jax.random.PRNGKey(0), traj[:20].shape, traj.dtype)
+    post = laplace_posterior(plant, noisy, ctl[:20], fields=("E",))
+    rods = sample_posterior(plant, post, _jax.random.PRNGKey(1),
+                            n_samples=12)
+    tips = np.asarray(_jax.vmap(
+        lambda r: simulate_scan(r, ctl[:20]).traj[:, -1, 0:3])(rods))
+    band = tips.std(axis=0).max() * 1000
+    print(f"[uncertainty] posterior std(log E) = {post.std[0]:.2e} "
+          f"(relative one-sigma on E); 12-sample predictive tip ensemble "
+          f"spreads up to {band:.3f} mm under 0.1 mm observation noise")
+
 
 if __name__ == "__main__":
     main()
