@@ -104,6 +104,70 @@ def measure_torch_cpu_epoch():
     return 1.0 / dt  # epochs/sec
 
 
+# ------------------------------------------------------------------------
+# Perf-regression tripwire (round-3 verdict item 5): every bench run
+# compares its metrics against the most recent driver-recorded BENCH_r*.json
+# and emits a "regressions" report — warn at >=10% loss, fail at >=25% —
+# so drifts like the round-2->3 N=40 mega-kernel -3% become visible the
+# round they happen. tests/test_tpu_kernels.py asserts fail is empty.
+
+_HIGHER_BETTER = ("per_sec", "epochs_per_sec", "mfu_pct")
+_LOWER_BETTER = ("latency", "wall_s", "rmse")
+_SKIP = ("compile_s",)   # compile walls are cache-state, not perf
+
+
+def _load_previous_bench(history_dir):
+    """Latest BENCH_r*.json with a parsed metric line, or (None, None)."""
+    import glob
+    for path in sorted(glob.glob(os.path.join(history_dir,
+                                              "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+        except (OSError, ValueError):
+            continue
+        parsed = doc.get("parsed") or doc
+        if isinstance(parsed, dict) and parsed.get("extra"):
+            return parsed, os.path.basename(path)
+    return None, None
+
+
+def detect_regressions(value, extras, history_dir=HERE,
+                       warn_at=0.10, fail_at=0.25):
+    """Compare this run's metrics to the previous round's bench record.
+
+    Returns {"baseline", "warn": {metric: -pct}, "fail": {metric: -pct}};
+    only metrics with a known goodness direction are compared, and compile
+    walls are excluded (they measure cache state)."""
+    prev, src = _load_previous_bench(history_dir)
+    report = {"baseline": src, "warn": {}, "fail": {}}
+    if prev is None:
+        return report
+    old_metrics = dict(prev.get("extra") or {})
+    old_metrics["headline_epochs_per_sec"] = prev.get("value")
+    new_metrics = dict(extras)
+    new_metrics["headline_epochs_per_sec"] = value
+    for name, new in new_metrics.items():
+        old = old_metrics.get(name)
+        if (not isinstance(old, (int, float))
+                or not isinstance(new, (int, float))
+                or isinstance(old, bool) or isinstance(new, bool)
+                or not old or any(k in name for k in _SKIP)):
+            continue
+        if any(k in name for k in _HIGHER_BETTER):
+            change = (new - old) / abs(old)    # negative = got worse
+        elif any(k in name for k in _LOWER_BETTER):
+            change = (old - new) / abs(old)
+        else:
+            continue
+        if change <= -fail_at:
+            report["fail"][name] = round(change * 100, 1)
+        elif change <= -warn_at:
+            report["warn"][name] = round(change * 100, 1)
+    return report
+
+
 # bf16 peak FLOP/s by device kind substring (MFU denominator). The point of
 # reporting MFU on this workload is honesty: the rod problem is tiny and
 # launch-bound, so the number is small — it tells you scaling headroom.
@@ -446,6 +510,13 @@ def main():
             json.dump({"torch_cpu_epochs_per_sec": torch_eps,
                        "config": {"trajs": 2, "train_len": TRAIN_LEN,
                                   "hidden": HIDDEN}}, f)
+
+    reg = detect_regressions(round(ours, 3), extras)
+    extras["regressions"] = reg
+    for sev in ("warn", "fail"):
+        for name, pct in reg[sev].items():
+            print(f"# REGRESSION[{sev}] {name}: {pct}% vs {reg['baseline']}",
+                  file=sys.stderr)
 
     vs = (ours / torch_eps) if torch_eps else None
     line = {

@@ -495,6 +495,38 @@ def enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
+def coerce_traj_layout(t, N, layout="auto"):
+    """Return ``t`` in state-last (T, N, C) layout, C in (25, 50).
+
+    layout: "state-last", "reference" ((T, C, N), transposed), or "auto".
+    Auto-detection REFUSES the ambiguous case — a rod with N in (25, 50)
+    nodes matches both patterns, and silently picking one would read
+    channels as nodes (advisor finding, round 3)."""
+    if t.ndim != 3:
+        raise SystemExit(f"sysid: traj must be 3-D, got {t.shape}")
+    state_last = t.shape[1] == N and t.shape[2] in (25, 50)
+    ref_layout = t.shape[1] in (25, 50) and t.shape[2] == N
+    if layout == "auto" and state_last and ref_layout:
+        raise SystemExit(
+            f"sysid: traj shape {t.shape} is ambiguous for a rod with "
+            f"N={N} nodes (both layouts match); pass --layout "
+            "state-last or --layout reference")
+    if layout == "state-last" or (layout == "auto" and state_last):
+        if not state_last:
+            raise SystemExit(f"sysid: traj shape {t.shape} is not "
+                             f"state-last (T, N={N}, 25|50)")
+        return t
+    if layout == "reference" or (layout == "auto" and ref_layout):
+        if not ref_layout:
+            raise SystemExit(f"sysid: traj shape {t.shape} is not "
+                             f"reference layout (T, 25|50, N={N})")
+        return np.moveaxis(t, 1, 2)
+    raise SystemExit(
+        f"sysid: traj shape {t.shape} matches neither (T, N={N}, "
+        f"25|50) nor (T, 25|50, N={N}); check the file or --mod/"
+        "--original node count")
+
+
 def cmd_sysid(args):
     import jax
     if args.dtype == "float64":
@@ -521,18 +553,7 @@ def cmd_sysid(args):
         t = np.asarray(data["traj"])
         # disambiguate layout against the rod's node count: state-last is
         # (T, N, C) with C in (25, 50); reference layout is (T, C, N)
-        N = int(p0.N)
-        if t.ndim != 3:
-            raise SystemExit(f"sysid: traj must be 3-D, got {t.shape}")
-        if t.shape[1] == N and t.shape[2] in (25, 50):
-            pass                                    # state-last
-        elif t.shape[1] in (25, 50) and t.shape[2] == N:
-            t = np.moveaxis(t, 1, 2)                # reference (T, C, N)
-        else:
-            raise SystemExit(
-                f"sysid: traj shape {t.shape} matches neither (T, N={N}, "
-                f"25|50) nor (T, 25|50, N={N}); check the file or --mod/"
-                "--original node count")
+        t = coerce_traj_layout(t, int(p0.N), getattr(args, "layout", "auto"))
         traj = jnp.asarray(t[args.trim:, :, :25], dtype)
         controls = jnp.asarray(np.asarray(data["controls"])[args.trim:],
                                dtype)
@@ -718,6 +739,11 @@ def main(argv=None):
     sp.add_argument("--trim", type=int, default=0,
                     help="drop the first TRIM steps (estimated real data "
                          "uses 100, train_segment.py:36)")
+    sp.add_argument("--layout", choices=("auto", "state-last", "reference"),
+                    default="auto",
+                    help="traj axis layout of --data: state-last (T, N, C) "
+                         "or reference (T, C, N); required explicitly when "
+                         "N is 25 or 50 (ambiguous)")
     sp.add_argument("--dtype", type=str, default="float64")
     sp.set_defaults(fn=cmd_sysid)
 

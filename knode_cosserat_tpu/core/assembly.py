@@ -491,9 +491,12 @@ def assembly_solve_step(asm: RodAssembly, yh, zh, tf, X0, pph, vph, hph,
         X = _implicit_root_dense(res, X0, tol=tol, max_iter=max_iter,
                                  jac_fn=jac)
         r = res(jax.lax.stop_gradient(X))
-        stats = NewtonStats(jnp.array(0, jnp.int32),
-                            jnp.sqrt(jnp.sum(r * r)), jnp.array(True),
-                            jnp.array(0, jnp.int32))
+        r2 = jnp.sum(r * r)
+        # custom_root hides the iteration count; converged is derived from
+        # the actual residual so a stalled solve reports honestly
+        # (iterations stays 0 = unavailable under the implicit path)
+        stats = NewtonStats(jnp.array(0, jnp.int32), jnp.sqrt(r2),
+                            r2 <= tol, jnp.array(0, jnp.int32))
     elif jac is not None:
         X, stats = _newton_structured(res, jac, X0, tol=tol,
                                       max_iter=max_iter)

@@ -157,10 +157,12 @@ def simulate_scan(
             from .shooting import implicit_root
             G_new = implicit_root(res, G_guess, tol=tol, max_iter=max_iter)
             r = res(jax.lax.stop_gradient(G_new))
-            stats = NewtonStats(jnp.array(0, jnp.int32),
-                                jnp.sqrt(jnp.sum(r * r)),
-                                jnp.array(True),
-                                jnp.array(0, jnp.int32))
+            r2 = jnp.sum(r * r)
+            # custom_root hides the iteration count; converged is derived
+            # from the actual residual so a stalled solve reports honestly
+            # (iterations stays 0 = unavailable under the implicit path)
+            stats = NewtonStats(jnp.array(0, jnp.int32), jnp.sqrt(r2),
+                                r2 <= tol, jnp.array(0, jnp.int32))
         else:
             G_new, stats = newton_solve(res, G_guess, tol=tol,
                                         max_iter=max_iter)

@@ -41,37 +41,67 @@ def adj_pos(positions: np.ndarray) -> np.ndarray:
     return adjusted
 
 
+# a mocap frame-relabel shows up as a jump of at least one quarter turn;
+# anything under this is treated as genuine motion (preprocess.py:96)
+_RELABEL_JUMP_RAD = np.deg2rad(30.0)
+
+
+def _nearest_signed_permutation(rotation: Rotation):
+    """The signed axes-permutation matrix closest to ``rotation`` — found by
+    integer-rounding its matrix — or ``None`` when the rounding is not
+    orthogonal (the rotation is too far from every permutation to call)."""
+    candidate = np.rint(rotation.as_matrix())
+    orthogonal = np.array_equal(candidate @ candidate.T, np.eye(3))
+    return Rotation.from_matrix(candidate) if orthogonal else None
+
+
 def guess_fix(rotation: Rotation) -> Rotation:
-    """Snap a relative rotation to the nearest axes permutation if the
-    rounded matrix is orthogonal; otherwise give up (preprocess.py:58-80)."""
-    rfix = rotation.as_matrix().round(0)
-    if np.array_equal(rfix @ rfix.T, np.eye(3)):
-        return Rotation.from_matrix(rfix)
-    return rotation
+    """Project a relative rotation onto the nearest signed axes permutation;
+    identity-like behavior (the input itself) when no permutation is close
+    enough to round to (semantics of reference preprocess.py:58-80)."""
+    snapped = _nearest_signed_permutation(rotation)
+    return rotation if snapped is None else snapped
 
 
-def fix_orientations(data, link: str) -> list:
-    """Unflip mocap quaternions: snap the first rotation to the nearest axes
-    permutation, then chain-fix successive rotations that jump >30 degrees
-    (preprocess.py:82-105). Input quats are mocap [x,y,z,w]."""
-    quat = np.array([data[f"{link}.pose.orientation.x"],
-                     data[f"{link}.pose.orientation.y"],
-                     data[f"{link}.pose.orientation.z"],
-                     data[f"{link}.pose.orientation.w"]]).T
-    rotations = [Rotation.from_quat(q) for q in quat]
+def fix_orientations(data, link: str) -> Rotation:
+    """Undo mocap marker-relabel flips in one link's orientation stream.
 
-    rfix = rotations[0].inv().as_matrix().round(0)
-    if np.array_equal(rfix @ rfix.T, np.eye(3)):
-        rotations[0] = rotations[0] * Rotation.from_matrix(rfix)
+    A Vicon relabel multiplies the reported rotation by a signed axes
+    permutation for some run of frames. Recovery (same semantics as
+    reference preprocess.py:82-105): anchor the first frame by snapping it
+    toward identity, then walk the stream comparing each RAW frame to the
+    last ACCEPTED one — a jump of >= 30 degrees is attributed to a relabel
+    and cancelled by right-multiplying with the permutation nearest to the
+    relative rotation (when none is near, the frame collapses onto its
+    predecessor, dropping the outlier).
 
-    rprev = rotations[0]
-    for i in range(1, len(rotations)):
-        rnext = rotations[i]
-        if not rprev.approx_equal(rnext, atol=30, degrees=True):
-            rnext = rnext * guess_fix(rnext.inv() * rprev)
-            rotations[i] = rnext
-        rprev = rnext
-    return rotations
+    Input quats are mocap [x, y, z, w]; returns a stacked Rotation (one
+    entry per frame — indexable/iterable like the reference's list).
+    """
+    raw = Rotation.from_quat(np.column_stack(
+        [np.asarray(data[f"{link}.pose.orientation.{axis}"])
+         for axis in ("x", "y", "z", "w")]))
+
+    anchor_fix = _nearest_signed_permutation(raw[0].inv())
+    first = raw[0] if anchor_fix is None else raw[0] * anchor_fix
+
+    # vectorized fast path: when the anchor needed no fix and no consecutive
+    # RAW pair jumps by >= 30 degrees, every frame is accepted as-is
+    if len(raw) > 1:
+        jumps = (raw[:-1].inv() * raw[1:]).magnitude()
+        clean_stream = bool((jumps < _RELABEL_JUMP_RAD).all())
+    else:
+        clean_stream = True
+    if clean_stream and (first.inv() * raw[0]).magnitude() == 0.0:
+        return raw
+
+    accepted = [first]
+    for frame in raw[1:]:
+        jump = (accepted[-1].inv() * frame).magnitude()
+        if jump >= _RELABEL_JUMP_RAD:
+            frame = frame * guess_fix(frame.inv() * accepted[-1])
+        accepted.append(frame)
+    return Rotation.concatenate(accepted)
 
 
 def interpolate_posquat(adjusted_positions: np.ndarray, quaternions,
@@ -109,8 +139,7 @@ def preprocessed(merged, ts: np.ndarray | None = None, N: int = 10):
     s_positions = np.stack([
         np.stack([np.interp(ts, time, q) for q in p.T]).T
         for p in positions])
-    s_orientations = [Slerp(time, Rotation.concatenate(r))(ts)
-                      for r in orientations]
+    s_orientations = [Slerp(time, r)(ts) for r in orientations]
     interpolated = np.stack([
         interpolate_posquat(adj_pos(s_positions[:, t]),
                             [o[t] for o in s_orientations], N)

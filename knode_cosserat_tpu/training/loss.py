@@ -108,6 +108,12 @@ def teacher_forced_loss(
     quirk, physics_train.py:321-322) — exact when traj[0] is the at-rest
     initial state (offline training), fabricated when the trajectory is a
     sliding window starting mid-motion (online adaptation)."""
+    if skip_first and traj.shape[0] < 3:
+        # slicing off the first transition of a 2-frame trajectory leaves
+        # ZERO residuals and jnp.mean would silently return NaN
+        raise ValueError(
+            f"teacher_forced_loss(skip_first=True) needs >= 3 frames, got "
+            f"traj of length {traj.shape[0]} (after any trimming)")
     kp = jnp.asarray(keypoints)
     y_grown, z_new = grow_predictions(p, spec, nn_params, traj, controls,
                                       keypoints, fused_fn=fused_fn)

@@ -582,6 +582,13 @@ class LaplacePosterior:
     All theta-space quantities are in TRANSFORM space (log for positive
     scalars — std is then a RELATIVE one-sigma, e.g. std 0.02 on log E
     means +/-2% on E).
+
+    Locally non-identifiable eigendirections (Hessian eigenvalue near zero
+    relative to the largest — the documented E-r stiffness degeneracy) get
+    the PRIOR variance ``prior_std**2`` along them, not the ~zero variance
+    a pinv would assign: the data carries no information there, so the
+    posterior must stay wide. ``degenerate_directions`` lists them as
+    (eigenvector, data_variance) pairs for inspection.
     """
     labels: list
     theta: Dict[str, jnp.ndarray]     # posterior mean (the fit)
@@ -589,6 +596,8 @@ class LaplacePosterior:
     std: np.ndarray                   # sqrt(diag)
     sigma2: float                     # estimated position-noise variance
     n_residuals: int
+    prior_std: float = np.inf
+    degenerate_directions: list = dataclasses.field(default_factory=list)
 
 
 def laplace_posterior(
@@ -601,6 +610,7 @@ def laplace_posterior(
     method: str = "euler",
     tol: Optional[float] = None,
     max_iter: int = 50,
+    prior_std: float = 1.0,
 ) -> LaplacePosterior:
     """Scaled parameter posterior at ``p`` (call on a fitted
     ``res.params``) under the ROLLOUT objective's position-noise model.
@@ -610,6 +620,14 @@ def laplace_posterior(
     angles, strains) with no single noise scale, so a scalar sigma^2
     would be fiction. Its curvature is still available unscaled via
     :func:`identifiability`.
+
+    prior_std: one-sigma width (transform space, i.e. RELATIVE for
+    log-parameters — 1.0 means "within a factor ~e") of the Gaussian
+    prior that bounds the variance along locally non-identifiable
+    Hessian eigendirections. Without it a pinv would assign those
+    directions ~ZERO variance — maximal confidence exactly where the
+    data carries no information. A warning is emitted when any
+    direction hits the prior.
     """
     traj = jnp.asarray(traj, p.dtype)
     controls = jnp.asarray(controls, p.dtype)
@@ -633,11 +651,41 @@ def laplace_posterior(
                           max_iter=max_iter)
     L = rep.loss_value               # evaluated jitted inside the report
     sigma2 = L * n / (n - d)
-    cov = (2.0 * sigma2 / n) * rep.covariance_unscaled
+    # Posterior = (prior N(0, prior_std^2 I) x likelihood) Laplace: build
+    # the covariance in the Hessian eigenbasis so near-zero-curvature
+    # directions get the PRIOR variance, not pinv's zero. Data variance
+    # along eigdir i is (2 sigma^2 / n) / w_i; composing with the prior:
+    # var_i = 1 / (1/prior_var + w_i n / (2 sigma^2)).
+    w = np.asarray(rep.eigvals, np.float64)
+    V = np.asarray(rep.eigvecs, np.float64)
+    prior_var = float(prior_std) ** 2
+    data_prec = np.clip(w, 0.0, None) * n / (2.0 * sigma2)
+    var = 1.0 / (1.0 / prior_var + data_prec)
+    degenerate = []
+    w_max = float(np.max(np.abs(w))) if w.size else 0.0
+    for i in range(w.size):
+        if w[i] <= 1e-10 * max(w_max, 1e-300):
+            degenerate.append((V[:, i].copy(),
+                               float(1.0 / max(data_prec[i], 1e-300))))
+    if degenerate:
+        import warnings
+        combos = "; ".join(
+            " + ".join(f"{v:+.3f}*{lb}" for v, lb in
+                       zip(vec, rep.labels) if abs(v) > 0.05)
+            for vec, _ in degenerate)
+        warnings.warn(
+            f"laplace_posterior: {len(degenerate)} locally "
+            f"non-identifiable parameter direction(s) [{combos}] — the "
+            f"data carries no curvature there; their posterior variance "
+            f"is the prior's (prior_std={prior_std}). Re-excite (see "
+            "design_experiment) or fix one of the coupled parameters.",
+            stacklevel=2)
+    cov = (V * var) @ V.T
     std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
     return LaplacePosterior(labels=rep.labels, theta=theta,
                             covariance=cov, std=std, sigma2=sigma2,
-                            n_residuals=n)
+                            n_residuals=n, prior_std=float(prior_std),
+                            degenerate_directions=degenerate)
 
 
 def sample_posterior(

@@ -332,3 +332,24 @@ def test_contact_structured_solver_matches_dense(contact_setup):
     b = simulate_assembly(blocked, ctl[:10], tol=1e-18, solver="structured")
     assert np.max(np.abs(np.asarray(a.plate_pose)
                          - np.asarray(b.plate_pose))) < 1e-9
+
+
+def test_differentiable_stats_report_stall():
+    """differentiable=True used to fabricate converged=True unconditionally
+    (advisor finding, round 3); converged must now follow the actual
+    residual of the implicit solve."""
+    from knode_cosserat_tpu.core.assembly import (AssemblyCarry,
+                                                  assembly_step_carry)
+    asm = make_ring_assembly(n_rods=2, base_radius=0.05, N=6,
+                             dtype=jnp.float64)
+    carry = AssemblyCarry.initial(asm)
+    tensions = 5.0 * jnp.ones((2, 4), jnp.float64)
+    _, _, _, _, ok = assembly_step_carry(asm, carry, tensions, tol=1e-16,
+                                         max_iter=50, differentiable=True)
+    assert bool(ok.converged)
+    # zero Newton iterations at an unreachable tolerance: the solve cannot
+    # have converged, and the stats must say so
+    _, _, _, _, stalled = assembly_step_carry(
+        asm, carry, tensions, tol=1e-30, max_iter=0, differentiable=True)
+    assert not bool(stalled.converged)
+    assert float(stalled.residual_norm) > 0

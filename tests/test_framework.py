@@ -390,3 +390,87 @@ def test_distributed_helpers_single_host():
     assert init_distributed() is False  # no coordinator configured
     assert not is_multihost()
     assert "process 0/1" in process_summary()
+
+
+def test_sysid_traj_layout_coercion():
+    """coerce_traj_layout: auto-detection works for unambiguous shapes,
+    REFUSES the N in (25, 50) ambiguity, and honors explicit --layout
+    (advisor finding, round 3: a (T, C, N) file for an N=25 rod was
+    silently mis-transposed)."""
+    from knode_cosserat_tpu.cli import coerce_traj_layout
+
+    t_state_last = np.zeros((7, 10, 25))
+    t_reference = np.zeros((7, 25, 10))
+    out = coerce_traj_layout(t_state_last, 10)
+    assert out.shape == (7, 10, 25)
+    out = coerce_traj_layout(t_reference, 10)
+    assert out.shape == (7, 10, 25)
+
+    ambiguous = np.zeros((7, 25, 25))
+    with pytest.raises(SystemExit, match="ambiguous"):
+        coerce_traj_layout(ambiguous, 25)
+    # explicit layout resolves it — both readings accepted
+    assert coerce_traj_layout(ambiguous, 25, "state-last").shape == (7, 25, 25)
+    assert coerce_traj_layout(ambiguous, 25, "reference").shape == (7, 25, 25)
+    ambiguous50 = np.zeros((7, 50, 50))
+    with pytest.raises(SystemExit, match="ambiguous"):
+        coerce_traj_layout(ambiguous50, 50)
+
+    with pytest.raises(SystemExit, match="not state-last"):
+        coerce_traj_layout(t_reference, 10, "state-last")
+    with pytest.raises(SystemExit, match="not reference"):
+        coerce_traj_layout(t_state_last, 10, "reference")
+    with pytest.raises(SystemExit, match="neither"):
+        coerce_traj_layout(np.zeros((7, 4, 4)), 10)
+    with pytest.raises(SystemExit, match="3-D"):
+        coerce_traj_layout(np.zeros((7, 25)), 10)
+
+
+def test_bench_regression_tripwire(tmp_path):
+    """bench.detect_regressions: warns at >=10%, fails at >=25%, respects
+    metric direction, and skips cache-state metrics (compile walls)."""
+    import json as _json
+
+    sys.path.insert(0, str(REPO))
+    from bench import detect_regressions
+
+    prev = {"parsed": {
+        "metric": "knode_batched_training_throughput",
+        "value": 30000.0,
+        "extra": {
+            "rollout_fused_steps_per_sec_n40": 800000,
+            "serving_latency_ms": 0.5,
+            "rollout_fused_compile_s_n40": 1.2,
+            "parity_tip_rmse_m": 1e-8,
+            "training_program_gflops": 6.9,
+        },
+    }}
+    (tmp_path / "BENCH_r03.json").write_text(_json.dumps(prev))
+
+    # healthy run: small drift both ways -> clean report
+    rep = detect_regressions(29000.0, {
+        "rollout_fused_steps_per_sec_n40": 790000,   # -1.25%
+        "serving_latency_ms": 0.52,
+        "rollout_fused_compile_s_n40": 150.0,        # cold cache: ignored
+        "parity_tip_rmse_m": 1.05e-8,
+        "training_program_gflops": 6.9,
+    }, history_dir=str(tmp_path))
+    assert rep["baseline"] == "BENCH_r03.json"
+    assert rep["warn"] == {} and rep["fail"] == {}
+
+    # degraded run: throughput -12% warns, latency 2x fails, rmse 2x fails
+    rep = detect_regressions(30000.0, {
+        "rollout_fused_steps_per_sec_n40": 700000,   # -12.5% -> warn
+        "serving_latency_ms": 1.0,                   # 2x -> fail
+        "parity_tip_rmse_m": 2e-8,                   # 2x -> fail
+    }, history_dir=str(tmp_path))
+    assert "rollout_fused_steps_per_sec_n40" in rep["warn"]
+    assert "serving_latency_ms" in rep["fail"]
+    assert "parity_tip_rmse_m" in rep["fail"]
+    # headline drop beyond 25% fails too
+    rep = detect_regressions(20000.0, {}, history_dir=str(tmp_path))
+    assert "headline_epochs_per_sec" in rep["fail"]
+
+    # no history -> empty report, never crashes
+    rep = detect_regressions(1.0, {}, history_dir=str(tmp_path / "empty"))
+    assert rep["baseline"] is None and rep["fail"] == {}

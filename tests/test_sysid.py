@@ -353,3 +353,42 @@ def test_batched_trajectories_and_validation():
     np.testing.assert_allclose(vals["Bbt"], np.diagonal(np.asarray(p0.Bbt)),
                                rtol=1e-12)
     np.testing.assert_allclose(vals["C"], np.asarray(p0.C), rtol=1e-12)
+
+
+def test_laplace_posterior_degenerate_direction_gets_prior(monkeypatch):
+    """A zero-curvature (locally non-identifiable) Hessian eigendirection
+    must carry the PRIOR variance, not pinv's ~zero (advisor finding,
+    round 3: overconfidence exactly where the data has no information) —
+    and the call must warn."""
+    import warnings
+
+    from knode_cosserat_tpu.training import sysid as S
+
+    p = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p, T=8)
+
+    H = np.diag([1e6, 0.0])          # "E" well-determined, "r" flat
+    w, V = np.linalg.eigh(H)
+    fake = S.IdentifiabilityReport(
+        labels=["E", "r"], hessian=H,
+        covariance_unscaled=np.linalg.pinv(H),
+        std_unscaled=np.sqrt(np.diagonal(np.linalg.pinv(H))),
+        correlation=np.eye(2), eigvals=w, eigvecs=V, loss_value=1e-6)
+    monkeypatch.setattr(S, "identifiability", lambda *a, **k: fake)
+
+    with pytest.warns(UserWarning, match="non-identifiable"):
+        post = S.laplace_posterior(p, traj, ctl, fields=("E", "r"),
+                                   prior_std=0.5)
+    assert len(post.degenerate_directions) == 1
+    # flat direction (index 1, "r"): posterior std == prior_std
+    np.testing.assert_allclose(post.std[1], 0.5, rtol=1e-6)
+    # informed direction stays data-dominated (far tighter than the prior)
+    assert post.std[0] < 0.01
+    # the covariance is positive definite (samplable without jitter tricks)
+    assert np.linalg.eigvalsh(post.covariance).min() > 0
+
+    # well-conditioned case: no warning escapes
+    monkeypatch.undo()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        S.laplace_posterior(p, traj, ctl, fields=("E",))

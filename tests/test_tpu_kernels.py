@@ -240,3 +240,22 @@ def test_tpu_sysid_teacher_fit(rod, controls):
     assert float(res.loss_history[-1]) < float(res.loss_history[0])
     # moved from 10 GPa toward the true 2.758 GPa
     assert float(res.values["E"]) < 9e9
+
+
+def test_bench_detail_has_no_failing_regressions():
+    """The tripwire tier assertion (round-3 verdict item 5): the most
+    recent on-chip bench run must not have regressed any guarded metric
+    by >=25% vs the previous round's recorded bench."""
+    import json
+    import os
+    detail = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "BENCH_DETAIL.json")
+    if not os.path.exists(detail):
+        pytest.skip("no BENCH_DETAIL.json (bench has not run here)")
+    with open(detail) as f:
+        doc = json.load(f)
+    reg = (doc.get("extra") or {}).get("regressions")
+    if reg is None:
+        pytest.skip("bench predates the regression tripwire")
+    assert reg["fail"] == {}, (
+        f"bench metrics regressed >=25% vs {reg['baseline']}: {reg['fail']}")

@@ -310,3 +310,15 @@ def test_train_knode_async_checkpointing(tmp_path):
     assert meta_a == meta_s
     for a, b in zip(jax.tree.leaves(tree_a), jax.tree.leaves(tree_s)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_teacher_forced_loss_skip_first_requires_three_frames():
+    """skip_first=True on a 2-frame trajectory would slice every residual
+    to length 0 and mean() to NaN (advisor finding, round 3); it must
+    raise instead."""
+    p = apply_mod(None)
+    spec = MLPSpec.for_knode(8)
+    traj = jnp.zeros((2, int(p.N), 25), jnp.float32)
+    ctl = jnp.zeros((2, 4), jnp.float32)
+    with pytest.raises(ValueError, match="3 frames"):
+        teacher_forced_loss(p, spec, None, traj, ctl, skip_first=True)
