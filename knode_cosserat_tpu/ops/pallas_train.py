@@ -64,8 +64,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.mlp import MLPSpec
 
 __all__ = ["make_fused_training_run", "make_fused_grid_training_run",
-           "fused_trainer_supported", "fused_state_from_optax",
-           "optax_state_from_fused"]
+           "make_sharded_grid_training_run", "fused_trainer_supported",
+           "fused_state_from_optax", "optax_state_from_fused"]
 
 MAX_CELLS = 8192
 # Per-core VMEM budget for choosing the lane-tile width. The live set at
@@ -575,6 +575,50 @@ def make_fused_training_run(p, spec: MLPSpec, cfg, n_epochs: int,
         if opt_state is None:
             opt_state = _fresh_state(params)
         return run_one(p, params, trajs, controls, opt_state)
+
+    return run
+
+
+def make_sharded_grid_training_run(spec: MLPSpec, cfg, n_epochs: int,
+                                   mesh, axis: str = "data",
+                                   interpret: bool = False):
+    """Multi-chip multitrain: the fused whole-run kernel under the mesh.
+
+    The experiment grid is embarrassingly parallel (the reference trains
+    its cells as independent subprocesses, physics_multitrain.py:140-157),
+    so the multi-chip decomposition is pure DP over the grid axis:
+    ``jax.shard_map`` splits the stacked (rod, params, data) arguments
+    along ``axis`` and every device runs the SAME vmapped Pallas kernel on
+    its local G/n_dev cells — per-device semantics identical to the
+    single-chip grid program, zero collectives in the training loop (the
+    only communication is the initial shard placement and the final
+    gather the caller triggers by reading results).
+
+    This is the composition the round-3 verdict flagged as untested: a
+    Pallas kernel running UNDER a sharded program. GSPMD cannot partition
+    a pallas_call (no partitioning rule), so shard_map's per-device manual
+    mode is the idiomatic TPU route.
+
+    Same signature/returns as make_fused_grid_training_run; the leading
+    grid axis of every argument must divide mesh.shape[axis] (callers pad,
+    e.g. parallel.grid.grid_train).
+    """
+    run_one = _make_run_one(spec, cfg, n_epochs, interpret)
+    vrun = jax.vmap(run_one)
+    from jax.sharding import PartitionSpec as P
+    ps = P(axis)
+    # check_vma=False: pallas_call out_shapes carry no varying-mesh-axes
+    # metadata (jax 0.9 raises under the default checker); the manual
+    # per-device semantics are exactly what we want regardless
+    inner = jax.shard_map(vrun, mesh=mesh,
+                          in_specs=(ps, ps, ps, ps, ps),
+                          out_specs=(ps, ps, ps), check_vma=False)
+
+    @jax.jit
+    def run(rods, params, trajs, controls, opt_state=None):
+        if opt_state is None:
+            opt_state = jax.vmap(_fresh_state)(params)
+        return inner(rods, params, trajs, controls, opt_state)
 
     return run
 

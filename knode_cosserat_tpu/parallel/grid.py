@@ -117,16 +117,38 @@ def grid_train(
     # program, every (rod, params, data) cell a vmap lane of the Pallas
     # whole-run kernel (zero per-epoch AND per-cell dispatch). Chunked at
     # log_every via the opaque opt-state round-trip. cfg.fused semantics
-    # match training.train (auto = only on TPU backend).
+    # match training.train (auto = only on TPU backend). Under a mesh the
+    # SAME kernel runs sharded: shard_map splits the grid axis over "data"
+    # and each device trains its local cells (the grid is embarrassingly
+    # parallel) — per-device results bit-match the single-device program
+    # (tests/test_interop_parallel.py pins it).
     from ..training.train import _resolve_fused
     n_cells_model = int(trajs.shape[1] * (trajs.shape[2] - 1)
                         * len(cfg.keypoints))
-    fused_mode = _resolve_fused(cfg, spec, n_cells_model, mesh)
+    fused_mode = _resolve_fused(cfg, spec, n_cells_model, None)
     if fused_mode:
-        from ..ops.pallas_train import make_fused_grid_training_run
+        from ..ops.pallas_train import (make_fused_grid_training_run,
+                                        make_sharded_grid_training_run)
         interp = fused_mode == "interpret"
-        make_run_fused = lambda n: make_fused_grid_training_run(
-            spec, cfg, n, interpret=interp)
+        G = len(cells)
+        if mesh is not None:
+            # pad the grid axis to a multiple of the data axis (shard_map
+            # needs even shards); padded lanes repeat the last cell and
+            # are dropped from the results below
+            n_data = int(mesh.shape["data"])
+            pad = (-G) % n_data
+            if pad:
+                rep = lambda x: jnp.concatenate(
+                    [x, jnp.repeat(x[-1:], pad, axis=0)], axis=0)
+                rods = jax.tree.map(rep, rods)
+                params = jax.tree.map(rep, params)
+                trajs = rep(trajs)
+                ctls = rep(ctls)
+            make_run_fused = lambda n: make_sharded_grid_training_run(
+                spec, cfg, n, mesh, interpret=interp)
+        else:
+            make_run_fused = lambda n: make_fused_grid_training_run(
+                spec, cfg, n, interpret=interp)
         # no log consumer -> the WHOLE run is one kernel launch; otherwise
         # chunk at the log cadence (opt state round-trips between chunks)
         chunk = (cfg.epochs if log is None
@@ -139,13 +161,13 @@ def grid_train(
             n = min(chunk, cfg.epochs - done)
             runner = run_chunk if n == chunk else make_run_fused(n)
             params, ls, state = runner(rods, params, trajs, ctls, state)
-            losses.extend(np.asarray(ls).T)   # (G, n) -> n rows of (G,)
+            losses.extend(np.asarray(ls).T[:, :G])  # (G', n) -> n x (G,)
             done += n
             if log:
                 log(f"epoch {done - 1} losses {losses[-1]}")
         flat = jax.device_get(params)
         per_cell = [jax.tree.map(lambda x, i=i: x[i], flat)
-                    for i in range(len(cells))]
+                    for i in range(G)]
         return GridResult(cells=list(cells), params=per_cell,
                           loss_history=np.asarray(losses), spec=spec)
 

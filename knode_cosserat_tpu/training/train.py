@@ -101,15 +101,30 @@ class TrainResult:
 
 
 def _resolve_fused(cfg: TrainConfig, spec: MLPSpec, n_cells: int, mesh):
-    """Map cfg.fused -> None (XLA epoch scan) | "on" | "interpret"."""
+    """Map cfg.fused -> None (XLA epoch scan) | "on" | "interpret".
+
+    mesh is not None declines the fused path for THIS trainer only: a
+    single model's whole-run kernel has no batch axis to shard (the mesh
+    here means TP/SP/DP over one model's program — XLA GSPMD territory).
+    The multi-chip FAST path is the grid: parallel.grid.grid_train(mesh=)
+    shard_maps the vmapped whole-run kernel over the "data" axis (each
+    device trains whole experiment cells), so callers with many models
+    should route there; it calls this resolver with mesh=None."""
     mode = getattr(cfg, "fused", "auto")
     forced = mode in ("on", "interpret")
     if mode == "off":
         return None
     if mesh is not None or jnp.dtype(cfg.dtype) != jnp.float32:
+        if forced and mesh is not None:
+            raise ValueError(
+                f"cfg.fused={mode!r}: train_knode's fused trainer is "
+                "single-device (one model = no shardable batch axis); "
+                "for the multi-chip fused path train a GRID — "
+                "parallel.grid.grid_train(mesh=...) shard_maps the "
+                "whole-run kernel over the mesh's data axis")
         if forced:
             raise ValueError(f"cfg.fused={mode!r}: the fused trainer is "
-                             "single-device float32")
+                             "float32-only")
         return None
     from ..ops.pallas_train import fused_trainer_supported
     if not fused_trainer_supported(spec, n_cells, cfg.weight_decay):

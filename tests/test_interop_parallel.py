@@ -230,3 +230,25 @@ def test_multiprocess_dryrun():
         cwd=REPO, env=env, capture_output=True, text=True, timeout=300)
     assert r.returncode == 0, f"stdout:\n{r.stdout}\nstderr:\n{r.stderr}"
     assert "MULTIPROCESS OK" in r.stdout
+
+
+def test_sharded_fused_grid_matches_unsharded():
+    """The fused whole-run Pallas kernel UNDER the mesh (round-3 verdict
+    item 1): grid_train(mesh=) shard_maps the vmapped kernel over the
+    "data" axis; results must BIT-match the single-device fused grid —
+    including an uneven grid (3 cells over data=2 exercises pad-and-drop).
+    """
+    cells = build_grid(["sine 0.5"], [None, "nsw", "youngs"], n_seeds=1)
+    assert len(cells) == 3
+    cfg = TrainConfig(epochs=3, hidden=32, dtype="float32",
+                      fused="interpret", log_every=1000)
+
+    single = grid_train(cells, cfg, train_len=6, log=None)
+    mesh = make_mesh(data=2, seq=2, model=2)
+    sharded = grid_train(cells, cfg, train_len=6, mesh=mesh, log=None)
+
+    assert sharded.loss_history.shape == single.loss_history.shape
+    np.testing.assert_array_equal(sharded.loss_history, single.loss_history)
+    for pa, pb in zip(sharded.params, single.params):
+        for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
