@@ -32,11 +32,13 @@ import dataclasses
 from typing import Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
 from ..core.params import RodParams
 from ..models.mlp import MLPSpec, init_mlp
+from ..utils.health import GuardedTraining
 from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
 from .sysid import apply_theta, theta_init, theta_values
 from .train import make_train_step
@@ -144,6 +146,26 @@ class OnlineConfig:
     activation: str = "elu"
     clamp_weights: bool = True
     seed: int = 0
+    # ----- handoff safety (the online -> MPC seam). guard=True wires a
+    # GuardedTraining watchdog into the loss stream (NaN / divergence ->
+    # rollback to the last snapshot) AND certifies weights before they are
+    # exposed for controller handoff: an H-step FREE rollout of the hybrid
+    # from the newest telemetry (exactly what a receding-horizon planner
+    # consumes) must stay finite with the tip inside a physical trust
+    # region, and the hybrid's windowed loss must actually beat the
+    # physics-only baseline. Uncertified updates never reach
+    # ``certified_params`` / ``handoff_to``.
+    guard: bool = True
+    probe_horizon: int = 10          # free-rollout probe length (steps)
+    tip_radius_factor: float = 2.0   # tip must stay within factor * L
+    certify_margin: float = 1.0      # require win_loss <= margin * phys_loss
+    divergence_factor: float = 1e3   # loss-stream rollback threshold
+    snapshot_every: int = 8          # GuardedTraining snapshot cadence
+    # relax the divergence reference 10x per rollback: online streams are
+    # non-stationary (the PLANT may legitimately change), so a sustained
+    # loss jump must eventually be accepted — certification, not the loss
+    # watchdog, is what keeps bad weights away from the controller.
+    guard_forget: float = 10.0
 
     def spec(self) -> MLPSpec:
         return MLPSpec.for_knode(self.hidden, self.history, self.activation)
@@ -191,6 +213,82 @@ class OnlineAdapter(_TelemetryRing):
         self._loss_fn = jax.jit(loss_fn)   # diagnostics reuse the trace
         self.updates = 0
         self.last_loss: Optional[float] = None
+        # --- handoff guard state (see OnlineConfig.guard) ---
+        self._guard = (GuardedTraining(self.params, self.opt_state,
+                                       cfg.divergence_factor,
+                                       cfg.snapshot_every,
+                                       forget=cfg.guard_forget)
+                       if cfg.guard else None)
+        self._certified = None
+        self._probe = jax.jit(self._probe_impl) if cfg.guard else None
+        self.certified_updates = 0
+        self.rejected_updates = 0
+        self.last_reject_reason: Optional[str] = None
+
+    # ----------------------------------------------------- handoff guard
+
+    def _probe_impl(self, params, last, prev, ctl):
+        """H-step FREE rollout of the hybrid from the newest telemetry
+        frames, replaying the window's most recent controls — the quantity
+        a receding-horizon planner consumes (control/mpc.rollout_tips).
+        Passes iff every predicted tip is finite and stays inside the
+        physical trust region ||tip|| <= tip_radius_factor * L (the rod is
+        clamped at the origin; a tip outside ~2L is unphysical for any
+        admissible strain). Reference analogue being guarded: the offline
+        pipeline needs best-DTW selection for the same hybrid-rollout
+        fragility (physics_train.py:163-167)."""
+        from ..control.mpc import PlanState, rollout_tips
+        p = self.p
+        st = PlanState(last[:, :19], last[:, 19:25],
+                       prev[:, :19], prev[:, 19:25],
+                       jnp.zeros(6, p.dtype), jnp.zeros(6, p.dtype))
+        tips, _ = rollout_tips(p, st, ctl, self.spec, params)
+        radius = self.cfg.tip_radius_factor * jnp.asarray(p.L, p.dtype)
+        ok = jnp.all(jnp.isfinite(tips))
+        ok &= jnp.max(jnp.linalg.norm(tips, axis=-1)) <= radius
+        return ok
+
+    def _certify(self, t, c) -> None:
+        """Gate the just-trained weights behind the handoff contract."""
+        win = float(self._loss_fn(self.params, t[None], c[None]))
+        phys = float(self._loss_fn(None, t[None], c[None]))
+        if not np.isfinite(win) or win > self.cfg.certify_margin * phys:
+            self.rejected_updates += 1
+            self.last_reject_reason = (
+                f"window loss {win:.3e} vs physics {phys:.3e} "
+                f"(margin {self.cfg.certify_margin})")
+            return
+        H = min(self.cfg.probe_horizon, t.shape[0] - 1)
+        ok = bool(self._probe(self.params, jnp.asarray(t[-1]),
+                              jnp.asarray(t[-2]), jnp.asarray(c[-H:])))
+        if not ok:
+            self.rejected_updates += 1
+            self.last_reject_reason = (
+                f"free-rollout probe failed over {H} steps "
+                f"(non-finite or tip outside "
+                f"{self.cfg.tip_radius_factor} * L)")
+            return
+        self._certified = self.params
+        self.certified_updates += 1
+        self.last_reject_reason = None
+
+    @property
+    def certified_params(self):
+        """The last weights that PASSED certification (None until any do).
+        This — not ``.params`` — is the sanctioned live-MPC handoff: raw
+        ``.params`` may be mid-divergence on an adversarial/noisy window.
+        Requires cfg.guard."""
+        return self._certified
+
+    def handoff_to(self, controller) -> bool:
+        """Assign the last certified weights to a controller (anything with
+        an ``nn_params`` attribute, e.g. control.mpc.MPCController).
+        Returns False — and leaves the controller untouched — if nothing
+        has been certified yet."""
+        if self._certified is None:
+            return False
+        controller.nn_params = self._certified
+        return True
 
     # ----------------------------------------------------------- learn
 
@@ -208,6 +306,16 @@ class OnlineAdapter(_TelemetryRing):
                 self.params, self.opt_state, trajs, ctrls)
         self.updates += 1
         self.last_loss = float(loss)
+        if self._guard is not None:
+            self.params, self.opt_state, reset = self._guard.update(
+                self.params, self.opt_state, self.last_loss)
+            if reset:
+                self.rejected_updates += 1
+                self.last_reject_reason = (
+                    f"loss stream diverged ({self.last_loss:.3e}); "
+                    "rolled back to snapshot")
+            else:
+                self._certify(t, c)
         return self.last_loss
 
     def window_loss(self) -> Optional[float]:
@@ -238,6 +346,16 @@ class OnlineSysIdConfig:
     lr: float = 0.05            # log-space Adam — relative steps
     keypoints: Tuple[int, ...] = DEFAULT_KEYPOINTS_FAST
     seed: int = 0
+    # loss-stream watchdog (NaN / divergence -> roll theta back); the
+    # estimate is interpretable so there is no free-rollout probe here —
+    # consumers should sanity-check values() against physical bounds.
+    guard: bool = True
+    divergence_factor: float = 1e3
+    snapshot_every: int = 8
+    # see OnlineConfig.guard_forget: the plant drifting IS the use case
+    # here (damage detection), so a sustained loss jump must be accepted
+    # after a few rollbacks rather than freezing theta at the stale value.
+    guard_forget: float = 10.0
 
 
 class OnlineSysId(_TelemetryRing):
@@ -292,8 +410,14 @@ class OnlineSysId(_TelemetryRing):
 
         self._step = step
         self._loss_fn = jax.jit(loss_fn)
+        self._guard = (GuardedTraining(self.theta, self.opt_state,
+                                       cfg.divergence_factor,
+                                       cfg.snapshot_every,
+                                       forget=cfg.guard_forget)
+                       if cfg.guard else None)
         self.updates = 0
         self.last_loss: Optional[float] = None
+        self.rollbacks = 0
 
     def update(self) -> Optional[float]:
         """cfg.steps_per_update log-space Adam steps on the current window;
@@ -306,6 +430,10 @@ class OnlineSysId(_TelemetryRing):
                 self.theta, self.opt_state, t, c)
         self.updates += 1
         self.last_loss = float(loss)
+        if self._guard is not None:
+            self.theta, self.opt_state, reset = self._guard.update(
+                self.theta, self.opt_state, self.last_loss)
+            self.rollbacks += int(reset)
         return self.last_loss
 
     def values(self):

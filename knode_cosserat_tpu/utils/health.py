@@ -73,12 +73,24 @@ class GuardedTraining:
     """
 
     def __init__(self, params, opt_state, divergence_factor: float = 1e3,
-                 snapshot_every: int = 50):
+                 snapshot_every: int = 50, forget: float = 1.0):
         self._snap = (jax.tree.map(np.asarray, params),
                       jax.tree.map(np.asarray, opt_state))
         self.best_loss = np.inf
         self.divergence_factor = divergence_factor
         self.snapshot_every = snapshot_every
+        # ``forget`` > 1 relaxes the divergence reference geometrically on
+        # every ROLLED-BACK update. For offline training on a fixed dataset
+        # (stationary loss landscape) the default 1.0 keeps the lifetime-best
+        # reference. For ONLINE streams the plant itself may change (material
+        # softening, payload pickup): the windowed loss then jumps for a
+        # legitimate reason and a lifetime-best reference would veto every
+        # subsequent update, freezing the learner at the stale snapshot
+        # forever. With forget=f, a sustained regime change that raises the
+        # loss J-fold over the best is accepted after ceil(log(J/factor)/
+        # log(f)) rollbacks, while a single-step NaN/explosion still always
+        # rolls back first.
+        self.forget = forget
         self._since_snap = 0
         self.resets = 0
 
@@ -89,6 +101,8 @@ class GuardedTraining:
             and loss > self.best_loss * self.divergence_factor)
         if diverged:
             self.resets += 1
+            if np.isfinite(self.best_loss):
+                self.best_loss *= self.forget
             params = jax.tree.map(lambda x: x, self._snap[0])
             opt_state = jax.tree.map(lambda x: x, self._snap[1])
             return params, opt_state, True

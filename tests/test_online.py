@@ -210,6 +210,114 @@ def test_mpc_handoff_contract(adapted):
     assert ctl_r._step._cache_size() == 1
 
 
+def test_adversarial_window_cannot_reach_mpc(adapted, plant_stream):
+    """VERDICT-r3 #4: the online->MPC seam is guarded. After clean
+    streaming certifies weights, garbage telemetry (the adversarial/noisy
+    window) must never certify — the free-rollout probe and the
+    loss-vs-physics gate both refuse it — and the sanctioned handoff
+    (certified_params / handoff_to) keeps delivering weights whose
+    MPC-horizon free rollout is finite and physically bounded."""
+    from knode_cosserat_tpu.control.mpc import PlanState, rollout_tips
+
+    traj, ctl = plant_stream
+    model, ad, _ = adapted
+    # clean streaming certified at least once, and certified weights pass
+    # the probe's own contract from a TRUE state
+    assert ad.certified_updates > 0
+    assert ad.certified_params is not None
+    cert_before = ad.certified_updates
+    certified = ad.certified_params
+
+    # the fixture is module-scoped: restore all mutable state afterwards
+    import jax
+    snap = (jax.tree.map(np.copy, ad.params),
+            jax.tree.map(np.copy, ad.opt_state),
+            ad._traj.copy(), ad._ctrl.copy(), ad._head, ad._count,
+            ad._guard.best_loss, ad.rejected_updates, ad.last_reject_reason)
+    try:
+        # --- adversarial phase: large non-physical garbage telemetry ---
+        rng = np.random.default_rng(7)
+        N = int(model.N)
+        for i in range(24):
+            garbage = 1e3 * rng.standard_normal((N, 25))
+            ad.observe(garbage, rng.uniform(0, 20, 4))
+            if i % 2 == 1:
+                ad.update()
+        assert ad.certified_updates == cert_before, \
+            "garbage window was certified for handoff"
+        assert ad.rejected_updates > 0
+        assert ad.last_reject_reason is not None
+        # the sanctioned handoff still hands out the last CLEAN certification
+        assert ad.certified_params is certified
+    finally:
+        (ad.params, ad.opt_state, traj_s, ctrl_s, ad._head, ad._count,
+         ad._guard.best_loss, ad.rejected_updates,
+         ad.last_reject_reason) = snap
+        ad._traj[:], ad._ctrl[:] = traj_s, ctrl_s
+
+    class _Ctl:                      # anything with .nn_params
+        nn_params = "sentinel"
+
+    c = _Ctl()
+    assert ad.handoff_to(c)
+    assert c.nn_params is certified
+
+    # what MPC consumes from the certified weights stays finite + bounded
+    t0 = 100
+    st = PlanState(jnp.asarray(traj[t0, :, :19]),
+                   jnp.asarray(traj[t0, :, 19:25]),
+                   jnp.asarray(traj[t0 - 1, :, :19]),
+                   jnp.asarray(traj[t0 - 1, :, 19:25]),
+                   jnp.zeros(6, model.dtype), jnp.zeros(6, model.dtype))
+    tips, _ = rollout_tips(model, st, jnp.asarray(ctl[t0:t0 + 10]),
+                           ad.spec, certified)
+    tips = np.asarray(tips)
+    assert np.all(np.isfinite(tips))
+    assert np.linalg.norm(tips, axis=-1).max() <= 2.0 * float(model.L)
+
+
+def test_guard_rolls_back_on_divergent_loss():
+    """Non-finite / exploding window loss triggers GuardedTraining rollback
+    (params stay finite) instead of poisoning the stream."""
+    model = apply_mod("damping")
+    N = int(model.N)
+    ad = OnlineAdapter(model, OnlineConfig(window=8, min_fill=4,
+                                           steps_per_update=1, lr=1e-3))
+    rec = np.zeros((N, 25))
+    rec[:, 3] = 1.0
+    for _ in range(4):
+        ad.observe(rec, np.full(4, 5.0))
+    ad.update()                       # benign baseline
+    bad = np.full((N, 25), np.nan)
+    for _ in range(4):
+        ad.observe(bad, np.full(4, 5.0))
+    ad.update()
+    assert ad.rejected_updates > 0
+    assert ad.certified_params is None or all(
+        bool(np.isfinite(np.asarray(p)).all())
+        for layer in ad.certified_params for p in layer.values())
+    # raw params were rolled back to the finite snapshot
+    assert all(bool(np.isfinite(np.asarray(p)).all())
+               for layer in ad.params for p in layer.values())
+    assert not ad.handoff_to(type("C", (), {"nn_params": None})()) \
+        or ad.certified_params is not None
+
+
+def test_handoff_refuses_until_certified():
+    """Before any update passes certification, handoff_to is a no-op."""
+    model = apply_mod("damping")
+    ad = OnlineAdapter(model, OnlineConfig(window=8, min_fill=4))
+    sentinel = object()
+
+    class _Ctl:
+        nn_params = sentinel
+
+    c = _Ctl()
+    assert ad.certified_params is None
+    assert not ad.handoff_to(c)
+    assert c.nn_params is sentinel
+
+
 def test_online_sysid_tracks_stiffness_drift():
     """Streaming physical-parameter tracking (OnlineSysId): starting from
     the 'youngs' fault the live E estimate converges to the plant's E;
