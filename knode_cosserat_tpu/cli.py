@@ -527,14 +527,46 @@ def coerce_traj_layout(t, N, layout="auto"):
         "--original node count")
 
 
+def cmd_replicate(args):
+    """One command, the whole physical workflow, no hardware: teleop
+    joystick experiment -> C++ firmware PID -> simulated winch plant ->
+    rosbag recording -> bag ingestion -> state estimation -> KNODE
+    training (SURVEY.md §3.5 L7->L5->L3; VERDICT-r3 #8)."""
+    from .hw.sil import replicate_workflow
+
+    summary = replicate_workflow(
+        args.out_dir, experiment=args.experiment, parameter=args.parameter,
+        mod=args.mod, epochs=args.epochs, hidden=args.layers,
+        trim=args.trim, train_len=args.train_len, seed=args.seed,
+        settle=args.settle, tail=args.tail, noise_traj=args.noise_traj)
+    print(f"replicate complete: model {summary['model']} "
+          f"(loss {summary['loss_initial']:.3e} -> "
+          f"{summary['loss_final']:.3e}, ingest DTW {summary['dtw']:.4f})")
+
+
+def _resolve_sysid_dtype(requested: str) -> str:
+    """Identification dtype policy (VERDICT-r3 #3: the product runs ON
+    CHIP by default).
+
+    "auto" (the default) -> float32 wherever the backend is free to be
+    the TPU (f32 recovery is <0.1% for every fittable parameter —
+    measured, docs/BENCHMARKS.md precision study); when the caller
+    already pinned CPU via KNODE_PLATFORM the f64 precision is free, so
+    take it. "float64" is the opt-in high-precision mode and pins CPU
+    (TPUs have no f64 LinAlg lowerings and large f64 implicit-rollout
+    programs crash the libtpu worker)."""
+    if requested != "auto":
+        return requested
+    return ("float64" if os.environ.get("KNODE_PLATFORM") == "cpu"
+            else "float32")
+
+
 def cmd_sysid(args):
     import jax
-    if args.dtype == "float64":
+    dtype_name = _resolve_sysid_dtype(args.dtype)
+    if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
-        # f64 identification is a small OFFLINE workload and belongs on
-        # CPU: TPUs have no f64 LinAlg lowerings and large f64 implicit-
-        # rollout programs are unsupported by libtpu (observed worker
-        # crash). --dtype float32 leaves the backend free for on-chip fits.
+        # see _resolve_sysid_dtype: explicit f64 is the off-chip mode
         if not os.environ.get("KNODE_PLATFORM"):
             jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -544,7 +576,7 @@ def cmd_sysid(args):
     from .core.stepper import simulate_scan
     from .training.sysid import fit_rod_params, theta_init, theta_values
 
-    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     p0 = apply_mod(args.mod, original=args.original, dtype=dtype)
 
     truth = None
@@ -567,12 +599,23 @@ def cmd_sysid(args):
         traj = simulate_scan(plant, controls).traj[:, :, :25]
         truth = theta_values(theta_init(plant, args.fit))
 
+    # full-length rollout-objective programs (custom_root through every
+    # Newton solve x every fit step in ONE scan) crash the libtpu worker;
+    # chunking the fit scan bounds program size with identical results
+    # (training/sysid.fit_rod_params docstring). Teacher fits and CPU
+    # runs keep the single-program fast path.
+    chunk = args.chunk
+    if chunk == 0:
+        chunk = (50 if args.objective == "rollout"
+                 and os.environ.get("KNODE_PLATFORM") != "cpu"
+                 and dtype_name != "float64" else None)
+
     # external data windows start mid-motion (or at an unknown state):
     # drop the fabricated first transition from the teacher loss there
     res = fit_rod_params(p0, traj, controls, fields=tuple(args.fit),
                          objective=args.objective, steps=args.steps,
                          lr=args.lr, n_starts=args.n_starts,
-                         skip_first=bool(args.data))
+                         skip_first=bool(args.data), chunk=chunk)
     if args.n_starts > 1:
         print("start losses:",
               " ".join(f"{v:.3e}" for v in np.asarray(res.start_losses)))
@@ -589,7 +632,8 @@ def cmd_sysid(args):
 
 def cmd_design(args):
     import jax
-    if args.dtype == "float64":
+    dtype_name = _resolve_sysid_dtype(args.dtype)
+    if dtype_name == "float64":
         jax.config.update("jax_enable_x64", True)
         if not os.environ.get("KNODE_PLATFORM"):
             jax.config.update("jax_platforms", "cpu")  # see cmd_sysid
@@ -598,7 +642,7 @@ def cmd_design(args):
     from .core.params import apply_mod
     from .training.sysid import design_experiment
 
-    dtype = jnp.float64 if args.dtype == "float64" else jnp.float32
+    dtype = jnp.float64 if dtype_name == "float64" else jnp.float32
     p = apply_mod(args.mod, original=args.original, dtype=dtype)
     res = design_experiment(p, fields=tuple(args.fit), horizon=args.horizon,
                             criterion=args.criterion, u_min=args.u_min,
@@ -744,7 +788,16 @@ def main(argv=None):
                     help="traj axis layout of --data: state-last (T, N, C) "
                          "or reference (T, C, N); required explicitly when "
                          "N is 25 or 50 (ambiguous)")
-    sp.add_argument("--dtype", type=str, default="float64")
+    sp.add_argument("--dtype", choices=("auto", "float32", "float64"),
+                    default="auto",
+                    help="auto (default): f32 ON CHIP (recovery <0.1%% "
+                         "per parameter, docs/BENCHMARKS.md), or f64 when "
+                         "KNODE_PLATFORM=cpu; float64: opt-in high-"
+                         "precision mode, pins CPU")
+    sp.add_argument("--chunk", type=int, default=0,
+                    help="fit-scan chunk size (program-size bound); 0 = "
+                         "auto (50 for on-chip rollout fits, whole-run "
+                         "otherwise)")
     sp.set_defaults(fn=cmd_sysid)
 
     sp = sub.add_parser(
@@ -761,8 +814,32 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=100)
     sp.add_argument("--lr", type=float, default=0.2)
     sp.add_argument("--save", type=str, default="data/designed_controls.npz")
-    sp.add_argument("--dtype", type=str, default="float64")
+    sp.add_argument("--dtype", choices=("auto", "float32", "float64"),
+                    default="auto", help="see sysid --dtype")
     sp.set_defaults(fn=cmd_design)
+
+    sp = sub.add_parser(
+        "replicate",
+        help="full physical workflow from synthetic hardware: teleop SIL "
+             "-> firmware PID -> rosbag -> prepare -> estimate -> "
+             "train-real, one command")
+    sp.add_argument("--out_dir", type=str, default="runs/replicate")
+    sp.add_argument("--experiment", type=str, default="sine",
+                    choices=["step_x", "step_y", "sine", "random"],
+                    help="joystick experiment (motor_joy_teleop:60-109)")
+    sp.add_argument("--parameter", type=int, default=0,
+                    help="experiment variant 0-15 (trigger/bumper bits)")
+    sp.add_argument("--mod", type=str, default="nsw",
+                    help="faulted physics the KNODE residual must correct")
+    sp.add_argument("--epochs", type=int, default=30)
+    sp.add_argument("--layers", type=int, default=32)
+    sp.add_argument("--trim", type=int, default=5)
+    sp.add_argument("--train_len", type=int, default=40)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--settle", type=float, default=1.0)
+    sp.add_argument("--tail", type=float, default=1.0)
+    sp.add_argument("--noise_traj", type=float, default=0.0)
+    sp.set_defaults(fn=cmd_replicate)
 
     sp = sub.add_parser("train-real", help="real-data KNODE training")
     sp.add_argument("--data", type=str, default="sinesine")
