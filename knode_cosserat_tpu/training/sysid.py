@@ -229,6 +229,7 @@ def fit_rod_params(
     start_scale: float = 0.25,
     key: Optional[jax.Array] = None,
     skip_first: bool = False,
+    chunk: Optional[int] = None,
 ) -> SysIdResult:
     """Fit physical rod parameters to observed trajectories.
 
@@ -258,12 +259,22 @@ def fit_rod_params(
         would bias the fit (same quirk OnlineAdapter handles; the
         rollout objective is unaffected — it seeds from the observed
         first frame either way).
+      chunk: run the Adam scan in host-level chunks of this many steps
+        (identical results — the optimizer state carries across chunks).
+        Bounds the compiled program size: the FULL-length rollout
+        objective (custom_root through every Newton solve x every fit
+        step in one scan) crashes the libtpu worker at T=120 x
+        steps=150, while the same fit in 50-step chunks runs on chip
+        (measured, scripts/sysid_precision_study.py). The CLI defaults
+        rollout-objective fits to chunk=50 off-CPU.
 
     Returns a :class:`SysIdResult`; the whole fit is one jitted program
-    (all starts train concurrently under vmap).
+    per chunk (all starts train concurrently under vmap).
     """
     if objective not in ("teacher", "rollout"):
         raise ValueError(f"unknown objective {objective!r}")
+    if chunk is not None and chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
     spec = spec if spec is not None else MLPSpec.for_knode()
     traj = jnp.asarray(traj, p.dtype)
     controls = jnp.asarray(controls, p.dtype)
@@ -298,19 +309,37 @@ def fit_rod_params(
                               spec, nn_params, method, tol, max_iter,
                               skip_first=skip_first)
 
-    def run(theta):
-        opt_state = opt.init(theta)
+    def fit_step(carry, _):
+        th, st = carry
+        value, grads = jax.value_and_grad(loss_fn)(th)
+        updates, st = opt.update(grads, st, th)
+        th = optax.apply_updates(th, updates)
+        return (th, st), value
 
-        def fit_step(carry, _):
-            th, st = carry
-            value, grads = jax.value_and_grad(loss_fn)(th)
-            updates, st = opt.update(grads, st, th)
-            th = optax.apply_updates(th, updates)
-            return (th, st), value
+    def scan_chunk(theta, opt_state, length):
+        (theta, opt_state), hist = lax.scan(fit_step, (theta, opt_state),
+                                            None, length=length)
+        return theta, opt_state, hist
 
-        (theta, _), hist = lax.scan(fit_step, (theta, opt_state), None,
-                                    length=steps)
-        return theta, hist, loss_fn(theta)
+    def run_chunked(theta, vmapped: bool):
+        """steps as ceil(steps/chunk) jitted programs (2 compilations
+        max: the full chunk and the remainder), optimizer state carried
+        across; identical math to the single-program scan."""
+        sizes = ([steps] if not chunk else
+                 [chunk] * (steps // chunk)
+                 + ([steps % chunk] if steps % chunk else []))
+        body = jax.jit(jax.vmap(scan_chunk, in_axes=(0, 0, None))
+                       if vmapped else scan_chunk,
+                       static_argnums=2)
+        final_of = jax.jit(jax.vmap(loss_fn) if vmapped else loss_fn)
+        opt_state = (jax.vmap(opt.init)(theta) if vmapped
+                     else opt.init(theta))
+        hists = []
+        for length in sizes:
+            theta, opt_state, h = body(theta, opt_state, length)
+            hists.append(h)
+        hist = jnp.concatenate(hists, axis=1 if vmapped else 0)
+        return theta, hist, final_of(theta)
 
     start_losses = None
     if n_starts > 1:
@@ -340,13 +369,14 @@ def fit_rod_params(
                 lambda a: jnp.broadcast_to(a[None],
                                            (n_starts,) + jnp.shape(a)),
                 theta0["nn"])
-        theta_fit_b, hist_b, final_b = jax.jit(jax.vmap(run))(theta_batch)
+        theta_fit_b, hist_b, final_b = run_chunked(theta_batch,
+                                                   vmapped=True)
         best = _best_start(final_b)
         theta_fit = jax.tree.map(lambda a: a[best], theta_fit_b)
         hist = hist_b[best]
         start_losses = final_b
     else:
-        theta_fit, hist, _ = jax.jit(run)(theta0)
+        theta_fit, hist, _ = run_chunked(theta0, vmapped=False)
 
     phys = theta_fit["phys"]
     return SysIdResult(

@@ -40,7 +40,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def run_study(dtype_name: str, quick: bool = False) -> dict:
+def run_study(dtype_name: str, quick: bool = False, only=None,
+              out_path=None) -> dict:
     import jax
 
     # honor KNODE_PLATFORM here (the CLI's env contract — the axon TPU
@@ -91,10 +92,37 @@ def run_study(dtype_name: str, quick: bool = False) -> dict:
 
     results = {"dtype": dtype_name, "backend": jax.default_backend(),
                "T": T, "cases": {}}
+    if out_path and os.path.exists(out_path):
+        # crash-resilient: merge previously completed cases (the TPU
+        # worker can die mid-study on the big rollout-objective program)
+        with open(out_path) as f:
+            prev = json.load(f)
+        if (prev.get("dtype"), prev.get("backend")) == \
+                (dtype_name, results["backend"]):
+            results["cases"].update(prev.get("cases", {}))
+            if "er_hessian" in prev:
+                results["er_hessian"] = prev["er_hessian"]
+
+    def checkpoint():
+        if out_path:
+            os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+            with open(out_path, "w") as f:
+                json.dump(results, f, indent=1)
+
     for field, p0, true_val, objective, lr, nsteps in cases:
+        if only is not None and field not in only:
+            continue
+        if field in results["cases"]:
+            print(f"  {field}: already done, skipping")
+            continue
         t0 = time.time()
+        # on-chip rollout fits are chunked: the full-length single-scan
+        # program crashes the libtpu worker (fit_rod_params docstring)
+        chunk = (50 if objective == "rollout"
+                 and jax.default_backend() == "tpu" else None)
         res = fit_rod_params(p0, traj, ctl, fields=(field,),
-                             objective=objective, steps=nsteps, lr=lr)
+                             objective=objective, steps=nsteps, lr=lr,
+                             chunk=chunk)
         est = np.asarray(res.values[field], np.float64)
         est_s = float(est if est.ndim == 0 else est.reshape(-1)[0])
         rel = abs(est_s - true_val) / abs(true_val)
@@ -106,7 +134,14 @@ def run_study(dtype_name: str, quick: bool = False) -> dict:
         }
         print(f"  {field:>4} [{objective:7}] {dtype_name}: "
               f"rel err {rel:.2e}  ({time.time() - t0:.1f} s)")
+        checkpoint()
 
+    if only is not None and "hessian" not in only:
+        checkpoint()
+        return results
+    if "er_hessian" in results:
+        print("  E-r Hessian: already done, skipping")
+        return results
     # ill-conditioned analysis path: the documented E-r degeneracy
     t0 = time.time()
     rep = identifiability(plant, traj, ctl, fields=("E", "r"))
@@ -137,9 +172,10 @@ def report(paths):
                            for r in runs)
         print(f"| {field} | {runs[0]['cases'][field]['objective']} "
               f"| {cells} |")
-    cells = " | ".join(f"{r['er_hessian']['corr_Er']:+.4f} "
-                       f"(cond {r['er_hessian']['cond']:.1e})"
-                       for r in runs)
+    cells = " | ".join(
+        (f"{r['er_hessian']['corr_Er']:+.4f} "
+         f"(cond {r['er_hessian']['cond']:.1e})")
+        if "er_hessian" in r else "crashed/absent" for r in runs)
     print(f"| E-r corr | hessian | {cells} |")
 
 
@@ -149,13 +185,19 @@ def main():
                     default="float32")
     ap.add_argument("--out", type=str, default=None)
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--only", type=str, default=None,
+                    help="comma list of cases to run (E,L,r,rho,Bbt,"
+                         "hessian) — one fragile case per process; "
+                         "results merge into --out across runs")
     ap.add_argument("--report", nargs="+", default=None,
                     help="aggregate saved JSONs into a markdown table")
     args = ap.parse_args()
     if args.report:
         report(args.report)
         return
-    results = run_study(args.dtype, quick=args.quick)
+    only = set(args.only.split(",")) if args.only else None
+    results = run_study(args.dtype, quick=args.quick, only=only,
+                        out_path=args.out)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         with open(args.out, "w") as f:

@@ -392,3 +392,28 @@ def test_laplace_posterior_degenerate_direction_gets_prior(monkeypatch):
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         S.laplace_posterior(p, traj, ctl, fields=("E",))
+
+
+def test_chunked_fit_matches_single_program():
+    """chunk= runs the Adam scan as several jitted programs with carried
+    optimizer state — bit-identical loss curve and estimate to the
+    single-program scan (the program-size bound that keeps full-length
+    rollout fits on chip; the libtpu worker crashes on the unchunked
+    T=120 x steps=150 rollout program)."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=10)
+    p0 = experimental_rod("youngs", dtype=jnp.float64)
+    whole = fit_rod_params(p0, traj, ctl, fields=("E",), steps=15, lr=0.1)
+    parts = fit_rod_params(p0, traj, ctl, fields=("E",), steps=15, lr=0.1,
+                           chunk=4)
+    np.testing.assert_allclose(np.asarray(parts.loss_history),
+                               np.asarray(whole.loss_history), rtol=1e-12)
+    np.testing.assert_allclose(float(parts.values["E"]),
+                               float(whole.values["E"]), rtol=1e-12)
+
+    ms = fit_rod_params(p0, traj, ctl, fields=("E",), steps=8, lr=0.1,
+                        chunk=3, n_starts=3)
+    assert ms.start_losses.shape == (3,)
+    assert np.isfinite(np.asarray(ms.loss_history)).all()
+    with pytest.raises(ValueError):
+        fit_rod_params(p0, traj, ctl, fields=("E",), steps=8, chunk=0)

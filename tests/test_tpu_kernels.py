@@ -259,3 +259,25 @@ def test_bench_detail_has_no_failing_regressions():
         pytest.skip("bench predates the regression tripwire")
     assert reg["fail"] == {}, (
         f"bench metrics regressed >=25% vs {reg['baseline']}: {reg['fail']}")
+
+
+def test_tpu_sysid_recovers_E_to_tenth_percent():
+    """VERDICT-r3 #3 done-bar: the identification product stands on the
+    chip alone — `sysid --fit E` protocol (f32, the CLI's on-chip
+    default) recovers a youngs-faulted E to <0.1% with telemetry
+    simulated in the run's own dtype (no f64 ground truth involved)."""
+    from knode_cosserat_tpu import calc_controls, experimental_rod
+    from knode_cosserat_tpu.core.stepper import simulate_scan
+    from knode_cosserat_tpu.training.sysid import fit_rod_params
+
+    plant = experimental_rod(dtype=jnp.float32)
+    ctl = jnp.asarray(calc_controls("sine", 0.5, float(plant.del_t), 60),
+                      jnp.float32)
+    traj = simulate_scan(plant, ctl).traj[:, :, :25]
+    p0 = experimental_rod("youngs", dtype=jnp.float32)   # 10 GPa fault
+    res = fit_rod_params(p0, traj, ctl, fields=("E",), objective="teacher",
+                         steps=150, lr=0.1)
+    e_true = float(np.asarray(plant.E))
+    e_est = float(np.asarray(res.values["E"]).reshape(-1)[0])
+    rel = abs(e_est - e_true) / e_true
+    assert rel < 1e-3, (e_est, e_true, rel)
