@@ -27,7 +27,8 @@ from ..core.spatial import next_segment_euler
 from ..models.mlp import MLPSpec, mlp_apply
 from ..ops.quaternion import quaternion_to_euler
 
-__all__ = ["teacher_forced_loss", "grow_predictions",
+__all__ = ["teacher_forced_loss", "teacher_forced_residuals",
+            "grow_predictions",
             "DEFAULT_KEYPOINTS_FAST", "DEFAULT_KEYPOINTS_SLOW",
             "DEFAULT_KEYPOINTS_REAL"]
 
@@ -133,3 +134,48 @@ def teacher_forced_loss(
     # equal-sized steps that's exactly the mean over steps, already taken
     # by mse() above — so `loss` is directly comparable.
     return loss
+
+
+def teacher_forced_residuals(
+    p: RodParams,
+    spec: MLPSpec,
+    nn_params,
+    traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    keypoints: Sequence[int] = DEFAULT_KEYPOINTS_FAST,
+    skip_first: bool = False,
+) -> jnp.ndarray:
+    """Flat residual vector r with sum(r**2) == teacher_forced_loss.
+
+    The loss is four equally-weighted MSE groups (positions, internal
+    states 7:19, Euler angles, strains); scaling each group's raw
+    residuals by 1/sqrt(n_group) makes the plain square-sum reproduce it
+    exactly. This is the r whose Jacobian feeds the Gauss-Newton /
+    Fisher path of training/sysid.identifiability — small Fisher
+    eigenvalues are sigma_min(J)^2, resolvable in f32 where a direct
+    f32 Hessian is pure rounding noise (ops/dd.py module docstring).
+    """
+    if skip_first and traj.shape[0] < 3:
+        raise ValueError(
+            f"teacher_forced_residuals(skip_first=True) needs >= 3 "
+            f"frames, got traj of length {traj.shape[0]}")
+    kp = jnp.asarray(keypoints)
+    y_grown, z_new = grow_predictions(p, spec, nn_params, traj, controls,
+                                      keypoints)
+    target = traj[1:]
+    if skip_first:
+        y_grown, z_new, target = y_grown[1:], z_new[1:], target[1:]
+    tgt_y = target[:, kp, :19]
+    tgt_z = target[:, kp - 1, 19:]
+
+    def group(a, b):
+        d = (a - b).reshape(-1)
+        return d / jnp.sqrt(jnp.asarray(d.shape[0], d.dtype))
+
+    return jnp.concatenate([
+        group(y_grown[..., 0:3], tgt_y[..., 0:3]),
+        group(y_grown[..., 7:19], tgt_y[..., 7:19]),
+        group(quaternion_to_euler(y_grown[..., 3:7]),
+              quaternion_to_euler(tgt_y[..., 3:7])),
+        group(z_new, tgt_z),
+    ])

@@ -42,7 +42,9 @@ from jax import lax
 from ..core.params import RodParams, derive_traced
 from ..core.stepper import simulate_scan
 from ..models.mlp import MLPSpec, mlp_apply
-from .loss import DEFAULT_KEYPOINTS_FAST, teacher_forced_loss
+from ..ops.dd import dd_gram, dd_to_float64
+from .loss import (DEFAULT_KEYPOINTS_FAST, teacher_forced_loss,
+                   teacher_forced_residuals)
 
 __all__ = ["FITTABLE_FIELDS", "theta_init", "apply_theta", "theta_values",
            "SysIdResult", "fit_rod_params", "IdentifiabilityReport",
@@ -176,6 +178,41 @@ def _make_objective(p, traj, controls, objective, keypoints, spec,
         return jnp.mean(jax.vmap(one)(traj, controls))
 
     return loss_fn
+
+
+def _make_residual_fn(p, traj, controls, objective, keypoints, spec,
+                      nn_params, method, tol, max_iter, skip_first=False):
+    """Residual-vector sibling of :func:`_make_objective`:
+    sum(res_fn(theta)**2) == loss_fn(theta) exactly. The Jacobian of this
+    vector is what the f32-stable Gauss-Newton/Fisher paths consume."""
+
+    B = traj.shape[0]
+
+    def res_fn(theta):
+        p_t = apply_theta(p, theta["phys"])
+        nnp = theta.get("nn", nn_params)
+        if objective == "teacher":
+            per = jax.vmap(lambda tr, ct: teacher_forced_residuals(
+                p_t, spec, nnp, tr, ct, keypoints,
+                skip_first=skip_first))(traj, controls)
+        else:
+            nn_fn = None
+            if nnp is not None:
+                nn_fn = lambda x: mlp_apply(spec, nnp, x)
+
+            def one(tr, ct):
+                sim = simulate_scan(p_t, ct, nn_fn=nn_fn,
+                                    nn_history=spec.history, method=method,
+                                    tol=tol, max_iter=max_iter,
+                                    differentiable=True, remat=True,
+                                    initial=(tr[0, :, :19], tr[0, :, 19:]))
+                d = (sim.traj[1:, :, :3] - tr[1:, :, :3]).reshape(-1)
+                return d / jnp.sqrt(jnp.asarray(d.shape[0], d.dtype))
+
+            per = jax.vmap(one)(traj, controls)
+        return per.reshape(-1) / jnp.sqrt(jnp.asarray(B, per.dtype))
+
+    return res_fn
 
 
 def _best_start(final_losses: jnp.ndarray) -> jnp.ndarray:
@@ -436,17 +473,36 @@ def identifiability(
     tol: Optional[float] = None,
     max_iter: int = 50,
     skip_first: bool = False,
+    hessian: str = "auto",
 ) -> IdentifiabilityReport:
     """Curvature-based local identifiability of ``fields`` at ``p``.
 
-    Computes the exact autodiff Hessian of the chosen objective w.r.t.
-    the (small) transform-space theta vector at ``p`` — typically called
-    at a fitted point (``res.params``). Near-singular directions and
-    near-unit correlations expose parameter combinations the data cannot
-    separate, BEFORE they corrupt a fit.
+    Computes the curvature of the chosen objective w.r.t. the (small)
+    transform-space theta vector at ``p`` — typically called at a fitted
+    point (``res.params``). Near-singular directions and near-unit
+    correlations expose parameter combinations the data cannot separate,
+    BEFORE they corrupt a fit.
+
+    hessian: how the curvature is computed.
+      * "exact" — autodiff Hessian of the scalar objective. Requires f64
+        to be trustworthy: the joint (E, r, L, rho, Bbt) Hessian spans
+        ~9 orders of magnitude in eigenvalue, and a single-f32 Hessian
+        inflates the smallest by ~2000x and scrambles the correlations
+        (measured, docs/BENCHMARKS.md precision study).
+      * "gn" — Gauss-Newton / Fisher: 2 J^T J from the residual-vector
+        Jacobian (sum(r^2) == objective exactly), with the contraction
+        accumulated in double-double f32 (ops/dd.py) so the conditioning
+        survives on chip. Exact at zero residual; at a fitted point the
+        neglected sum_i r_i grad^2 r_i term is O(residual). This IS the
+        Fisher information of the Gaussian-noise model — the right
+        object for identifiability.
+      * "auto" — "exact" for f64 rods (CPU analysis), "gn" for f32 (the
+        on-chip product path).
     """
     if objective not in ("teacher", "rollout"):
         raise ValueError(f"unknown objective {objective!r}")
+    if hessian not in ("auto", "exact", "gn"):
+        raise ValueError(f"unknown hessian mode {hessian!r}")
     spec = spec if spec is not None else MLPSpec.for_knode()
     traj = jnp.asarray(traj, p.dtype)
     controls = jnp.asarray(controls, p.dtype)
@@ -457,20 +513,41 @@ def identifiability(
         raise ValueError(f"traj must be (T, N, >=25) or batched, got "
                          f"{traj.shape}")
     traj = traj[..., :25]            # SimOutput rows carry 50 channels
+    if hessian == "auto":
+        hessian = "exact" if jnp.dtype(p.dtype) == jnp.float64 else "gn"
 
     theta = theta_init(p, fields)
     vec0, labels, unpack = _flatten_theta(theta)
 
-    loss_fn = _make_objective(p, traj, controls, objective, keypoints,
-                              spec, nn_params, method, tol, max_iter,
-                              skip_first=skip_first)
+    if hessian == "gn":
+        res_fn = _make_residual_fn(p, traj, controls, objective, keypoints,
+                                   spec, nn_params, method, tol, max_iter,
+                                   skip_first=skip_first)
 
-    def loss_of_vec(v):
-        return loss_fn({"phys": unpack(v)})
+        def res_of_vec(v):
+            return res_fn({"phys": unpack(v)})
 
-    H = np.asarray(jax.jit(jax.hessian(loss_of_vec))(vec0), np.float64)
+        @jax.jit
+        def gn_parts(v):
+            r = res_of_vec(v)
+            J = jax.jacfwd(res_of_vec)(v)          # (n, D): D fwd tangents
+            hi, lo = dd_gram(J)                    # dd-accumulated J^T J
+            return jnp.sum(r * r), hi, lo
+
+        Lv, hi, lo = gn_parts(vec0)
+        Lval = float(Lv)
+        H = 2.0 * dd_to_float64(hi, lo)
+    else:
+        loss_fn = _make_objective(p, traj, controls, objective, keypoints,
+                                  spec, nn_params, method, tol, max_iter,
+                                  skip_first=skip_first)
+
+        def loss_of_vec(v):
+            return loss_fn({"phys": unpack(v)})
+
+        H = np.asarray(jax.jit(jax.hessian(loss_of_vec))(vec0), np.float64)
+        Lval = float(jax.jit(loss_of_vec)(vec0))
     H = 0.5 * (H + H.T)
-    Lval = float(jax.jit(loss_of_vec)(vec0))
     cov = np.linalg.pinv(H)
     std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
     denom = np.outer(std, std)
@@ -515,6 +592,7 @@ def design_experiment(
     max_iter: int = 50,
     u_init: Optional[jnp.ndarray] = None,
     key: Optional[jax.Array] = None,
+    fisher: str = "auto",
 ) -> DesignResult:
     """Fisher-optimal input design: pick the tension schedule that makes
     ``fields`` maximally identifiable BEFORE running the experiment.
@@ -535,31 +613,60 @@ def design_experiment(
     A static schedule carries no information about damping/drag; the
     designed schedule learns to excite the rod (tests/test_sysid.py pins
     the gain).
+
+    fisher: "exact" (autodiff theta-Hessian of the teacher loss — f64
+    territory), "gn" (Gauss-Newton: the criterion is computed from the
+    SINGULAR VALUES of the residual Jacobian J, never forming J^T J in
+    working precision — log det(2 J^T J) = D log 2 + 2 sum log sigma_i,
+    min-eig = 2 sigma_min^2 — so near-degenerate directions keep gradient
+    signal in f32 on chip), or "auto" (exact for f64, gn for f32; see
+    identifiability()).
     """
     if criterion not in ("D", "E"):
         raise ValueError(f"unknown criterion {criterion!r} (want 'D' or 'E')")
+    if fisher not in ("auto", "exact", "gn"):
+        raise ValueError(f"unknown fisher mode {fisher!r}")
+    if fisher == "auto":
+        fisher = "exact" if jnp.dtype(p.dtype) == jnp.float64 else "gn"
     theta = theta_init(p, fields)
     vec0, _, unpack = _flatten_theta(theta)
+    D = int(vec0.shape[0])
     spec = MLPSpec.for_knode()
     dtype = p.dtype
 
-    def fisher(u):
+    def nominal_traj(u):
         sim = simulate_scan(p, u, method=method, tol=tol, max_iter=max_iter,
                             differentiable=True, remat=True)
-        traj = sim.traj[:, :, :25]
+        return sim.traj[:, :, :25]
+
+    def info_exact(u):
+        traj = nominal_traj(u)
 
         def loss_of_vec(v):
             return teacher_forced_loss(apply_theta(p, unpack(v)), spec,
                                        None, traj, u, keypoints)
 
         H = jax.hessian(loss_of_vec)(vec0)
-        return 0.5 * (H + H.T)
-
-    def info(u):
-        H = fisher(u)
+        H = 0.5 * (H + H.T)
         if criterion == "D":
             return jnp.linalg.slogdet(H)[1]
         return jnp.linalg.eigvalsh(H)[0]
+
+    def info_gn(u):
+        traj = nominal_traj(u)
+
+        def res_of_vec(v):
+            return teacher_forced_residuals(apply_theta(p, unpack(v)),
+                                            spec, None, traj, u, keypoints)
+
+        J = jax.jacfwd(res_of_vec)(vec0)           # (n, D)
+        s = jnp.linalg.svd(J, compute_uv=False)    # descending
+        if criterion == "D":
+            return (D * jnp.log(jnp.asarray(2.0, s.dtype))
+                    + 2.0 * jnp.sum(jnp.log(s)))
+        return 2.0 * s[-1] ** 2
+
+    info = info_gn if fisher == "gn" else info_exact
 
     span = u_max - u_min
     if u_init is None:
