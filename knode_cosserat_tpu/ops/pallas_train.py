@@ -80,10 +80,22 @@ MAX_CELLS = 8192
 VMEM_BUDGET = 13.5 * 2**20
 
 
+def _fixed_vmem_bytes(hidden: int, din: int) -> int:
+    """Lane-independent VMEM residents: f32 master weights + two Adam
+    moments for W1 (din, hidden), W2 (hidden, 25) and both biases. At
+    hidden=512 this is ~0.5 MB (noise); at hidden>=1024 it is what used
+    to push the kernel past VMEM (Mosaic compile failure at exactly the
+    h>=1024 rows of the round-4 roofline sweep) because the old tiling
+    model ignored it."""
+    n_params = hidden * (din + 25) + hidden + 25
+    return 3 * 4 * n_params
+
+
 def _pick_tiling(n_cells: int, hidden: int, din: int):
     """-> (n_tiles, tile): 128-aligned lane tile under the VMEM model."""
     bytes_per_lane = 4 * (5 * hidden + din + 60)
-    tile_max = max(128, int(VMEM_BUDGET // bytes_per_lane) // 128 * 128)
+    avail = max(int(VMEM_BUDGET) - _fixed_vmem_bytes(hidden, din), 0)
+    tile_max = max(128, (avail // bytes_per_lane) // 128 * 128)
     n_tiles = -(-n_cells // tile_max)
     tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
     return n_tiles, tile
@@ -129,11 +141,29 @@ def _asin_rows(x):
 def fused_trainer_supported(spec: MLPSpec, n_cells: int,
                             weight_decay: float = 0.0) -> bool:
     """Weight decay IS supported (in-kernel AdamW); the argument remains so
-    call sites state what they checked."""
-    del weight_decay
-    return (len(spec.dims) == 3 and spec.activation == "elu"
+    call sites state what they checked.
+
+    Besides the architecture gate, hidden is capped at 512 — the only
+    width the Mosaic lowering is validated at. Measured on v5e (round-4
+    roofline probes): hidden >= 1024 fails the remote Mosaic compile
+    under the old tiling (HTTP 500), and under a VMEM-corrected tiling
+    (tile=512) the compile ran >25 minutes without completing — either
+    way not a product path. Nothing is lost: at hidden >= 1024 the XLA
+    epoch scan already beats the fused kernel's best case (7,097 eps at
+    h=1024-XLA vs 7,733 at h=512-fused, and MFU keeps climbing with
+    width on the XLA path — docs/BENCHMARKS.md roofline section), so
+    wide-hidden callers get the better path by falling back. The VMEM
+    model (_pick_tiling/_fixed_vmem_bytes) stays honest for the widths
+    the gate admits."""
+    if not (len(spec.dims) == 3 and spec.activation == "elu"
             and getattr(spec, "compute_dtype", None) is None
-            and n_cells <= MAX_CELLS)
+            and n_cells <= MAX_CELLS):
+        return False
+    din, hidden = spec.dims[0], spec.dims[1]
+    if hidden > 512:
+        return False
+    return (4 * 128 * (5 * hidden + din + 60)
+            + _fixed_vmem_bytes(hidden, din)) <= VMEM_BUDGET
 
 
 def _euler_forward(q):

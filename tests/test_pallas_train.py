@@ -328,3 +328,34 @@ def test_fused_training_chunked_resume():
     for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pc)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-8)
+
+
+def test_fused_support_gate_declines_wide_hidden():
+    """hidden > 512 must fall back to the XLA epoch scan: the Mosaic
+    lowering fails (h>=1024 HTTP-500s under the old tiling; a
+    VMEM-corrected tiling compiles >25 min — round-4 probes), and the
+    XLA path is faster there anyway (docs/BENCHMARKS.md roofline)."""
+    from knode_cosserat_tpu.models.mlp import MLPSpec
+    assert fused_trainer_supported(MLPSpec.for_knode(hidden=512), 1904)
+    for hidden in (1024, 2048, 4096, 8192):
+        assert not fused_trainer_supported(
+            MLPSpec.for_knode(hidden=hidden), 1904), hidden
+
+
+def test_pick_tiling_respects_fixed_vmem_cost():
+    """The lane-tile budget must subtract the hidden-dependent weight +
+    Adam-moment residents; at h=512 the reference configs keep their
+    tiles (bench comparability), and the chosen tile never exceeds what
+    the full VMEM model admits."""
+    from knode_cosserat_tpu.ops.pallas_train import (VMEM_BUDGET,
+                                                     _fixed_vmem_bytes,
+                                                     _pick_tiling)
+    assert _pick_tiling(112, 512, 53) == (1, 128)     # flagship bench
+    assert _pick_tiling(1904, 512, 53) == (2, 1024)   # train-real
+    for cells in (112, 1904, 8192):
+        for hidden in (64, 128, 512):
+            n_tiles, tile = _pick_tiling(cells, hidden, 53)
+            assert n_tiles * tile >= cells
+            used = (4 * tile * (5 * hidden + 53 + 60)
+                    + _fixed_vmem_bytes(hidden, 53))
+            assert used <= VMEM_BUDGET or tile == 128, (cells, hidden)
