@@ -530,7 +530,17 @@ def identifiability(
         @jax.jit
         def gn_parts(v):
             r = res_of_vec(v)
-            J = jax.jacfwd(res_of_vec)(v)          # (n, D): D fwd tangents
+            # The Jacobian must be computed at HIGHEST matmul precision:
+            # the MXU's default single-pass-bf16 f32 dots perturb J at
+            # ~2^-8 relative, inflating sigma_min (and the smallest
+            # Fisher eigenvalue, sigma_min^2) by ~1e2 (~1e4) on the
+            # joint 5-field protocol — measured 7.90e-7 vs the true
+            # 7.909e-11, scripts/diag_gn_chip.py. With HIGHEST the chip
+            # matches the f64 CPU eigenvalue to 4 digits; the dd Gram
+            # contraction itself lowers exactly (chip == host-f64 of the
+            # same J). 7 forward tangents — the 6x dot cost is noise.
+            with jax.default_matmul_precision("highest"):
+                J = jax.jacfwd(res_of_vec)(v)      # (n, D): D fwd tangents
             hi, lo = dd_gram(J)                    # dd-accumulated J^T J
             return jnp.sum(r * r), hi, lo
 
@@ -659,7 +669,13 @@ def design_experiment(
             return teacher_forced_residuals(apply_theta(p, unpack(v)),
                                             spec, None, traj, u, keypoints)
 
-        J = jax.jacfwd(res_of_vec)(vec0)           # (n, D)
+        # HIGHEST matmul precision for the same reason as the
+        # identifiability gn path: default-precision MXU dots bury
+        # sigma_min of an ill-conditioned J under bf16 rounding, and the
+        # E-criterion IS 2 sigma_min^2 (measured 1e4x inflation on the
+        # joint 5-field spectrum, scripts/diag_gn_chip.py).
+        with jax.default_matmul_precision("highest"):
+            J = jax.jacfwd(res_of_vec)(vec0)       # (n, D)
         s = jnp.linalg.svd(J, compute_uv=False)    # descending
         if criterion == "D":
             return (D * jnp.log(jnp.asarray(2.0, s.dtype))

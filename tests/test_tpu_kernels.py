@@ -281,3 +281,34 @@ def test_tpu_sysid_recovers_E_to_tenth_percent():
     e_est = float(np.asarray(res.values["E"]).reshape(-1)[0])
     rel = abs(e_est - e_true) / e_true
     assert rel < 1e-3, (e_est, e_true, rel)
+
+
+def test_tpu_gn_identifiability_resolves_degenerate_spectrum():
+    """The dd-Gram Gauss-Newton path must keep its f64-class conditioning
+    ON CHIP: the joint 5-field curvature spectrum spans ~9 orders of
+    magnitude. Two distinct failure modes are pinned here:
+      * the dd contraction mis-lowering on Mosaic/VPU (it doesn't —
+        chip dd == host f64 of the same J, scripts/diag_gn_chip.py);
+      * the Jacobian itself computed with default-precision MXU dots
+        (single-pass bf16), which inflates sigma_min ~1e2 and the
+        smallest eigenvalue ~1e4 (7.90e-7 vs true 7.909e-11) — fixed by
+        default_matmul_precision('highest') inside gn_parts
+        (training/sysid.py). tests/test_dd.py pins the CPU-side parity."""
+    from knode_cosserat_tpu import calc_controls, experimental_rod
+    from knode_cosserat_tpu.core.stepper import simulate_scan
+    from knode_cosserat_tpu.training.sysid import identifiability
+
+    p = experimental_rod(dtype=jnp.float32)
+    ctl = jnp.asarray(calc_controls("sine", 0.5, float(p.del_t), 30),
+                      jnp.float32)
+    traj = simulate_scan(p, ctl).traj[:, :, :25]
+    rep = identifiability(p, traj, ctl,
+                          fields=("E", "r", "L", "rho", "Bbt"))
+    w = np.asarray(rep.eigvals)
+    # f64 CPU reference for this exact protocol: smallest 7.909e-11,
+    # largest 9.74e-2; the fixed on-chip path reproduces the smallest
+    # eigenvalue to ~4 digits (measured 7.9090e-11). Pin a band, not
+    # digits — the on-chip rollout differs from CPU-f32 at ~1e-7/step.
+    assert w[-1] / w[0] > 1e8, (w[0], w[-1])
+    assert 2e-11 < w[0] < 4e-10, w[0]
+    assert np.isfinite(np.asarray(rep.correlation)).all()
