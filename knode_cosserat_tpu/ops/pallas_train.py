@@ -148,13 +148,13 @@ def fused_trainer_supported(spec: MLPSpec, n_cells: int,
     roofline probes): hidden >= 1024 fails the remote Mosaic compile
     under the old tiling (HTTP 500), and under a VMEM-corrected tiling
     (tile=512) the compile ran >25 minutes without completing — either
-    way not a product path. Nothing is lost: at hidden >= 1024 the XLA
-    epoch scan already beats the fused kernel's best case (7,097 eps at
-    h=1024-XLA vs 7,733 at h=512-fused, and MFU keeps climbing with
-    width on the XLA path — docs/BENCHMARKS.md roofline section), so
-    wide-hidden callers get the better path by falling back. The VMEM
-    model (_pick_tiling/_fixed_vmem_bytes) stays honest for the widths
-    the gate admits."""
+    way not a product path. Wide-hidden callers are not abandoned: the
+    HBM-streamed sibling (ops/pallas_train_wide.py) handles any width by
+    streaming params+moments instead of holding them resident (19.7% MFU
+    at h=32768 vs the XLA scan's ~5% — docs/BENCHMARKS.md), and
+    training.train._resolve_fused routes "auto" there from h=2048 up.
+    The VMEM model (_pick_tiling/_fixed_vmem_bytes) stays honest for the
+    widths this gate admits."""
     if not (len(spec.dims) == 3 and spec.activation == "elu"
             and getattr(spec, "compute_dtype", None) is None
             and n_cells <= MAX_CELLS):

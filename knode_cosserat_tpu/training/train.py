@@ -62,10 +62,15 @@ class TrainConfig:
     # activation residuals on very wide nets. The fused whole-run kernel
     # declines mixed specs; the XLA epoch scan carries them.
     nn_dtype: Optional[str] = None
-    # fused whole-training-run Pallas kernel (ops/pallas_train.py):
-    #   "auto"      use it when supported AND the backend is TPU
-    #   "on"        force (compiles the kernel on whatever backend)
-    #   "interpret" force in interpret mode (CPU parity testing)
+    # fused whole-training-run Pallas kernels:
+    #   "auto"      VMEM-resident kernel (ops/pallas_train.py) when
+    #               supported, else the HBM-streamed wide kernel
+    #               (ops/pallas_train_wide.py) for hidden > 512, else the
+    #               XLA epoch scan; kernels only when the backend is TPU
+    #   "on"        force the VMEM-resident kernel
+    #   "wide"      force the streamed wide kernel
+    #   "interpret" / "wide_interpret"   force in interpret mode (CPU
+    #               parity testing)
     #   "off"       always use the XLA epoch scan
     fused: str = "auto"
     # validation DTW metric: "device" = exact DTW via the anti-diagonal
@@ -111,27 +116,44 @@ def _resolve_fused(cfg: TrainConfig, spec: MLPSpec, n_cells: int, mesh):
     device trains whole experiment cells), so callers with many models
     should route there; it calls this resolver with mesh=None."""
     mode = getattr(cfg, "fused", "auto")
-    forced = mode in ("on", "interpret")
+    forced = mode in ("on", "interpret", "wide", "wide_interpret")
     if mode == "off":
         return None
     if mesh is not None or jnp.dtype(cfg.dtype) != jnp.float32:
         if forced and mesh is not None:
             raise ValueError(
-                f"cfg.fused={mode!r}: train_knode's fused trainer is "
+                f"cfg.fused={mode!r}: train_knode's fused trainers are "
                 "single-device (one model = no shardable batch axis); "
                 "for the multi-chip fused path train a GRID — "
                 "parallel.grid.grid_train(mesh=...) shard_maps the "
                 "whole-run kernel over the mesh's data axis")
         if forced:
-            raise ValueError(f"cfg.fused={mode!r}: the fused trainer is "
-                             "float32-only")
+            raise ValueError(f"cfg.fused={mode!r}: the fused trainers "
+                             "are float32-only")
         return None
     from ..ops.pallas_train import fused_trainer_supported
+    from ..ops.pallas_train_wide import wide_trainer_supported
+    if mode in ("wide", "wide_interpret"):
+        if not wide_trainer_supported(spec, n_cells, cfg.weight_decay):
+            raise ValueError(f"cfg.fused={mode!r} but the wide (streamed) "
+                             f"trainer does not support this config "
+                             f"(spec={spec}, n_cells={n_cells})")
+        return mode
     if not fused_trainer_supported(spec, n_cells, cfg.weight_decay):
         if forced:
             raise ValueError(f"cfg.fused={mode!r} but the fused trainer "
                              f"does not support this config "
-                             f"(spec={spec}, n_cells={n_cells})")
+                             f"(spec={spec}, n_cells={n_cells}); wide "
+                             f"hidden widths can force cfg.fused='wide'")
+        # auto: wide hidden -> the HBM-streamed kernel when it supports
+        # the shape, else the XLA epoch scan. Crossover measured at the
+        # train-real cell count (docs/BENCHMARKS.md wide roofline):
+        # h=1024 XLA 6,527 vs wide 6,125 eps (latency regime), h=2048
+        # wide 1.15x, h=32768 wide 3.98x — route wide from h=2048 up.
+        if (spec.dims[1] >= 2048
+                and wide_trainer_supported(spec, n_cells, cfg.weight_decay)
+                and jax.default_backend() == "tpu"):
+            return "wide"
         return None
     if forced:
         return mode
@@ -365,7 +387,13 @@ def train_knode(
     fused_mode = _resolve_fused(cfg, spec, n_cells, mesh)
     chunk = cfg.eval_every if do_eval else max(cfg.log_every, 1)
     chunk = max(1, min(chunk, cfg.epochs + 1))
-    if fused_mode:
+    if fused_mode in ("wide", "wide_interpret"):
+        from ..ops.pallas_train import (fused_state_from_optax,
+                                        optax_state_from_fused)
+        from ..ops.pallas_train_wide import make_wide_training_run
+        make_runner = lambda n: make_wide_training_run(
+            p_mod, spec, cfg, n, interpret=fused_mode == "wide_interpret")
+    elif fused_mode:
         from ..ops.pallas_train import (fused_state_from_optax,
                                         make_fused_training_run,
                                         optax_state_from_fused)

@@ -359,3 +359,123 @@ def test_pick_tiling_respects_fixed_vmem_cost():
             used = (4 * tile * (5 * hidden + 53 + 60)
                     + _fixed_vmem_bytes(hidden, 53))
             assert used <= VMEM_BUDGET or tile == 128, (cells, hidden)
+
+
+# ------------------------------------------------- wide (streamed) trainer
+
+def _wide_run(p_mod, spec, cfg, epochs):
+    from knode_cosserat_tpu.ops.pallas_train_wide import (
+        make_wide_training_run)
+    return make_wide_training_run(p_mod, spec, cfg, epochs, interpret=True)
+
+
+def test_wide_training_matches_epoch_scan():
+    """HBM-streamed kernel == XLA epoch scan at a width the VMEM-resident
+    kernel declines. hidden=640 forces two 512-wide hidden tiles PLUS 384
+    zero-padded columns — the streaming loop, the per-tile recompute, and
+    the pad-column invariants all on the parity path."""
+    from knode_cosserat_tpu.ops.pallas_train_wide import (
+        wide_trainer_supported)
+    epochs = 40
+    p_mod, cfg, spec, params, trajs, ctls = _setup(hidden=640,
+                                                   epochs=epochs)
+    assert not fused_trainer_supported(spec, 56)
+    assert wide_trainer_supported(spec, 56)
+    p_wide, l_wide, _ = _wide_run(p_mod, spec, cfg, epochs)(params, trajs,
+                                                            ctls)
+    p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
+    np.testing.assert_allclose(np.asarray(l_wide), l_xla, rtol=2e-4,
+                               atol=1e-9)
+    for a, b in zip(jax.tree.leaves(p_wide), jax.tree.leaves(p_xla)):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), rtol=3e-3,
+                                   atol=3e-5)
+
+
+def test_wide_training_plateau_wd_history():
+    """Plateau reductions + AdamW decay + the 53-input history net through
+    the streamed kernel (the train-real flagship configuration shape)."""
+    epochs = 60
+    p_mod, cfg, spec, params, trajs, ctls = _setup(
+        hidden=640, epochs=epochs, history=True, weight_decay=0.1,
+        plateau_patience=4, plateau_factor=0.5)
+    assert spec.dims[0] == 53
+    p_wide, l_wide, _ = _wide_run(p_mod, spec, cfg, epochs)(params, trajs,
+                                                            ctls)
+    p_xla, l_xla = _run_xla(p_mod, cfg, spec, params, trajs, ctls, epochs)
+    np.testing.assert_allclose(np.asarray(l_wide), l_xla, rtol=5e-4,
+                               atol=1e-9)
+    for a, b in zip(jax.tree.leaves(p_wide), jax.tree.leaves(p_xla)):
+        np.testing.assert_allclose(np.asarray(a).ravel(),
+                                   np.asarray(b).ravel(), rtol=3e-3,
+                                   atol=3e-5)
+
+
+def test_wide_training_chunked_resume():
+    """Opaque opt_state round-trips across wide chunks — and across a
+    MIXED wide/VMEM-resident pair at a width both support, so the product
+    trainer can switch kernels mid-run without a numeric seam."""
+    p_mod, cfg, spec, params, trajs, ctls = _setup(hidden=640, epochs=40)
+    pa, la, st = _wide_run(p_mod, spec, cfg, 15)(params, trajs, ctls)
+    pa, lb, st = _wide_run(p_mod, spec, cfg, 25)(pa, trajs, ctls, st)
+    pc, lc, _ = _wide_run(p_mod, spec, cfg, 40)(params, trajs, ctls)
+    np.testing.assert_allclose(np.concatenate([np.asarray(la),
+                                               np.asarray(lb)]),
+                               np.asarray(lc), rtol=1e-6, atol=1e-12)
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pc)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+    # mixed kernels, shared state: wide 15 + fused 25 == fused 40
+    p_mod, cfg, spec, params, trajs, ctls = _setup(hidden=64, epochs=40)
+    pa, la, st = _wide_run(p_mod, spec, cfg, 15)(params, trajs, ctls)
+    run25 = make_fused_training_run(p_mod, spec, cfg, 25, interpret=True)
+    pa, lb, st = run25(pa, trajs, ctls, st)
+    pc, lc, _ = make_fused_training_run(p_mod, spec, cfg, 40,
+                                        interpret=True)(params, trajs,
+                                                        ctls)
+    np.testing.assert_allclose(np.concatenate([np.asarray(la),
+                                               np.asarray(lb)]),
+                               np.asarray(lc), rtol=2e-5, atol=1e-10)
+
+
+def test_wide_supported_gates():
+    from knode_cosserat_tpu.models.mlp import MLPSpec
+    from knode_cosserat_tpu.ops.pallas_train_wide import (
+        WIDE_MAX_CELLS, wide_trainer_supported)
+    # width-agnostic by design: the stream keeps VMEM usage constant
+    for hidden in (64, 512, 1024, 8192, 32768):
+        assert wide_trainer_supported(MLPSpec.for_knode(hidden=hidden),
+                                      1904), hidden
+    # cell count must fit the lane-tile budget
+    assert not wide_trainer_supported(MLPSpec.for_knode(hidden=1024),
+                                      WIDE_MAX_CELLS + 1)
+    # architecture gates shared with the VMEM-resident kernel
+    assert not wide_trainer_supported(
+        MLPSpec.for_knode(hidden=1024, activation="tanh"), 1904)
+    assert not wide_trainer_supported(
+        MLPSpec.for_knode(hidden=1024, compute_dtype="bfloat16"), 1904)
+
+
+def test_resolve_fused_routes_wide(monkeypatch):
+    """cfg.fused routing: auto prefers the VMEM-resident kernel, falls to
+    wide for hidden > 512 on TPU, and 'wide'/'wide_interpret' force."""
+    import knode_cosserat_tpu.training.train as T
+    from knode_cosserat_tpu.training import TrainConfig
+
+    cfg_small = TrainConfig(hidden=512, dtype="float32")
+    cfg_wide = TrainConfig(hidden=4096, dtype="float32")
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert T._resolve_fused(cfg_small, cfg_small.spec(), 1904, None) == "on"
+    assert T._resolve_fused(cfg_wide, cfg_wide.spec(), 1904,
+                            None) == "wide"
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert T._resolve_fused(cfg_wide, cfg_wide.spec(), 1904, None) is None
+    cfg_forced = TrainConfig(hidden=4096, dtype="float32",
+                             fused="wide_interpret")
+    assert T._resolve_fused(cfg_forced, cfg_forced.spec(), 1904,
+                            None) == "wide_interpret"
+    cfg_bad = TrainConfig(hidden=4096, dtype="float32", fused="wide")
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        T._resolve_fused(cfg_bad, cfg_bad.spec(), 10 ** 6, None)

@@ -312,3 +312,45 @@ def test_tpu_gn_identifiability_resolves_degenerate_spectrum():
     assert w[-1] / w[0] > 1e8, (w[0], w[-1])
     assert 2e-11 < w[0] < 4e-10, w[0]
     assert np.isfinite(np.asarray(rep.correlation)).all()
+
+
+def test_tpu_wide_trainer_mosaic_lowering_and_mfu():
+    """The HBM-streamed wide trainer on the real chip: the Mosaic DMA
+    lowering must (a) compile promptly at a width the VMEM-resident
+    kernel measurably cannot, (b) train (finite, descending loss), and
+    (c) clear the materializing path's ~9% MFU traffic ceiling at
+    h=8192/1904 cells (measured 11.9%; bar set at 9.5% to ride out the
+    ~10-15% chip timing variance — docs/BENCHMARKS.md wide roofline)."""
+    import time
+
+    from knode_cosserat_tpu.ops.pallas_train_wide import (
+        make_wide_training_run, wide_trainer_supported)
+    from knode_cosserat_tpu.training import TrainConfig
+
+    rng = np.random.default_rng(0)
+    p = apply_mod(None)
+    B, T, E, hidden = 4, 120, 200, 8192
+    trajs = jnp.asarray(rng.normal(size=(B, T, int(p.N), 25)) * 0.01,
+                        jnp.float32)
+    ctls = jnp.asarray(rng.uniform(1, 3, size=(B, T, 4)), jnp.float32)
+    cfg = TrainConfig(epochs=E, hidden=hidden, dtype="float32",
+                      history=True)
+    spec = cfg.spec()
+    n_cells = B * (T - 1) * len(cfg.keypoints)
+    assert wide_trainer_supported(spec, n_cells)
+    params = init_mlp(spec, jax.random.PRNGKey(0), jnp.float32)
+    run = make_wide_training_run(p, spec, cfg, E)
+    _, losses, _ = run(params, trajs, ctls)          # compile + warm
+    jax.block_until_ready(losses)
+    l = np.asarray(losses)
+    assert np.isfinite(l).all()
+    # random-noise targets: the fit floor is data-determined; parity is
+    # pinned on CPU (test_pallas_train.py) — here just prove real descent
+    assert l[-1] < l[0] * 0.5, (l[0], l[-1])
+    t0 = time.perf_counter()
+    _, losses, _ = run(params, trajs, ctls)
+    jax.block_until_ready(losses)
+    eps = E / (time.perf_counter() - t0)
+    din = spec.dims[0]
+    mfu = 2.0 * n_cells * hidden * (2 * din + 75) * eps / 197e12 * 100
+    assert mfu > 9.5, (eps, mfu)
