@@ -114,6 +114,10 @@ def measure_torch_cpu_epoch():
 _HIGHER_BETTER = ("per_sec", "epochs_per_sec", "mfu_pct")
 _LOWER_BETTER = ("latency", "wall_s", "rmse")
 _SKIP = ("compile_s",)   # compile walls are cache-state, not perf
+# Sub-millisecond latency metrics ride the axon tunnel's host-round-trip
+# jitter (measured 2.3x spread within ONE session, round 4) — escalate to
+# fail only past the observed noise envelope.
+_NOISY = {"serving_latency_ms": 0.60}
 
 
 def _load_previous_bench(history_dir):
@@ -161,7 +165,8 @@ def detect_regressions(value, extras, history_dir=HERE,
             change = (old - new) / abs(old)
         else:
             continue
-        if change <= -fail_at:
+        metric_fail_at = _NOISY.get(name, fail_at)
+        if change <= -metric_fail_at:
             report["fail"][name] = round(change * 100, 1)
         elif change <= -warn_at:
             report["warn"][name] = round(change * 100, 1)
@@ -309,10 +314,13 @@ def measure_extras(ref, golden_trajs, golden_ctls):
             extras["sysid_fit200_wall_s"] = round(dt, 2)
 
     # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
+    # reps=10: the axon tunnel's host-round-trip jitter spreads a single
+    # best-of-3 measurement 0.49-1.11 ms WITHIN one session (measured
+    # round 4); the min over 10 loops is the stable dispatch+device floor
     from knode_cosserat_tpu.serving import CompiledStepper
     stepper = CompiledStepper(p10, fast=not on_cpu)
     extras["serving_latency_ms"] = round(
-        stepper.benchmark(100)["latency_ms"], 3)
+        stepper.benchmark(100, reps=10)["latency_ms"], 3)
 
     # --- parity: f32 device rollout vs the f64 CPU-exact golden ---
     # golden_trajs: (B, T, N, 25) state-last
@@ -483,6 +491,40 @@ def main():
                 100.0 * flops_epoch * G * EPOCHS_MEASURE / gsec / peak, 4)
         except Exception as e:
             print(f"# grid bench failed: {e}", file=sys.stderr)
+
+    # --- wide (HBM-streamed) fused trainer: the h=8192 train-real shape.
+    # Guards the streamed Mosaic lowering's throughput, which clears the
+    # materializing XLA path's ~9% MFU traffic ceiling (docs/BENCHMARKS.md
+    # wide roofline; measured 11.9% at this config).
+    if jax.default_backend() != "cpu":
+        try:
+            from knode_cosserat_tpu.ops.pallas_train_wide import (
+                make_wide_training_run, wide_trainer_supported)
+            rngw = np.random.default_rng(0)
+            Bw, Tw, Hw = 4, 120, 8192
+            cfg_w = TrainConfig(epochs=EPOCHS_MEASURE, hidden=Hw,
+                                dtype="float32", history=True)
+            spec_w = cfg_w.spec()
+            cells_w = Bw * (Tw - 1) * len(cfg_w.keypoints)
+            assert wide_trainer_supported(spec_w, cells_w)
+            tw = jnp.asarray(rngw.normal(size=(Bw, Tw, int(p_mod.N), 25))
+                             * 0.01, jnp.float32)
+            cw = jnp.asarray(rngw.uniform(1, 3, size=(Bw, Tw, 4)),
+                             jnp.float32)
+            params_w = init_mlp(spec_w, jax.random.PRNGKey(0), jnp.float32)
+            run_w = make_wide_training_run(p_mod, spec_w, cfg_w,
+                                           EPOCHS_MEASURE)
+            _, lw, _ = run_w(params_w, tw, cw)            # compile
+            jax.block_until_ready(lw)
+            assert np.isfinite(np.asarray(lw)).all()
+            wsec = timeit_queued(lambda: run_w(params_w, tw, cw), n=2)
+            weps = EPOCHS_MEASURE / wsec
+            extras["training_wide_h8192_epochs_per_sec"] = round(weps, 1)
+            extras["training_wide_h8192_mfu_pct"] = round(
+                100.0 * 2.0 * cells_w * Hw * (2 * spec_w.dims[0] + 75)
+                * weps / peak, 3)
+        except Exception as e:
+            print(f"# wide trainer bench failed: {e}", file=sys.stderr)
 
     if not os.environ.get("KNODE_BENCH_FAST"):
         try:

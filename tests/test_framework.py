@@ -471,6 +471,14 @@ def test_bench_regression_tripwire(tmp_path):
     rep = detect_regressions(20000.0, {}, history_dir=str(tmp_path))
     assert "headline_epochs_per_sec" in rep["fail"]
 
+    # jitter-class metric (bench._NOISY): +40% serving latency is within
+    # the measured axon-tunnel session noise (0.49-1.11 ms spread) ->
+    # warn, not fail; only past the 60% envelope does it fail
+    rep = detect_regressions(30000.0, {"serving_latency_ms": 0.7},
+                             history_dir=str(tmp_path))
+    assert "serving_latency_ms" in rep["warn"]
+    assert "serving_latency_ms" not in rep["fail"]
+
     # no history -> empty report, never crashes
     rep = detect_regressions(1.0, {}, history_dir=str(tmp_path / "empty"))
     assert rep["baseline"] is None and rep["fail"] == {}
