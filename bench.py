@@ -303,10 +303,14 @@ def measure_extras(ref, golden_trajs, golden_ctls):
             return fit_rod_params(p_fault, s_traj, s_ctl, fields=("E",),
                                   steps=SYS_STEPS, lr=0.1).loss_history
 
+        # best-of-3: the ~1 s wall rides host re-trace + tunnel jitter
+        # (drifted -21% on a single sample between r03 and r04 runs)
         _sysid_run()                              # populate compile cache
-        t0 = time.perf_counter()
-        hist = _sysid_run()
-        dt = time.perf_counter() - t0
+        dt, hist = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hist = _sysid_run()
+            dt = min(dt, time.perf_counter() - t0)
         # end-to-end wall of a 200-step E-fit (each call re-traces the
         # fresh jit closure; XLA compile is cache-hit) — the user-visible
         # "how long does an identification run take" regression number

@@ -39,6 +39,15 @@ of both kernels against the XLA epoch scan.
 Scope guards (``wide_trainer_supported``): 2-layer ELU MLP in full f32,
 cells <= one lane tile after padding (train-real's 1904 fits), any
 hidden width >= 1 (the stream makes VMEM usage width-independent).
+
+Why the cell envelope is not extended: past one VMEM-resident cell tile
+the kernel would have to stream data tiles too, and the dW contraction
+(x @ da1^T over the cell axis) then re-reads either the weights per
+cell tile or the features per hidden tile — per-epoch traffic grows to
+~n_tiles x (weights|features), which lands back at the materializing
+path's arithmetic intensity (~9% MFU) that this kernel exists to beat.
+Every actual product config (train-real 1904, multitrain 112/model)
+fits the resident tile; the huge-cell regime belongs to the XLA scan.
 """
 from __future__ import annotations
 

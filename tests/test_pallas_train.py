@@ -479,3 +479,14 @@ def test_resolve_fused_routes_wide(monkeypatch):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         T._resolve_fused(cfg_bad, cfg_bad.spec(), 10 ** 6, None)
+    # under a mesh the single-model kernels decline (the multi-chip fast
+    # path is the sharded GRID); forcing wide there must refuse loudly
+    from knode_cosserat_tpu.parallel import make_mesh
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    mesh = make_mesh(data=1)
+    assert T._resolve_fused(cfg_wide, cfg_wide.spec(), 1904, mesh) is None
+    cfg_forced_mesh = TrainConfig(hidden=4096, dtype="float32",
+                                  fused="wide")
+    with _pytest.raises(ValueError):
+        T._resolve_fused(cfg_forced_mesh, cfg_forced_mesh.spec(), 1904,
+                         mesh)
