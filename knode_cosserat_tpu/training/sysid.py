@@ -49,7 +49,8 @@ from .loss import (DEFAULT_KEYPOINTS_FAST, teacher_forced_loss,
 __all__ = ["FITTABLE_FIELDS", "theta_init", "apply_theta", "theta_values",
            "SysIdResult", "fit_rod_params", "IdentifiabilityReport",
            "identifiability", "DesignResult", "design_experiment",
-           "LaplacePosterior", "laplace_posterior", "sample_posterior"]
+           "LaplacePosterior", "laplace_posterior", "sample_posterior",
+           "AssemblySysIdResult", "fit_assembly_params"]
 
 # field -> parameterization. log: positive scalar fitted as log(x);
 # logdiag: (3,3) diagonal matrix fitted as log of its diagonal;
@@ -865,3 +866,148 @@ def sample_posterior(
     eps = jax.random.normal(key, (n_samples, D), vec0.dtype)
     vecs = vec0[None, :] + eps @ jnp.asarray(Lc.T, vec0.dtype)
     return jax.vmap(lambda v: apply_theta(p, unpack(v)))(vecs)
+
+
+# ------------------------------------------------- assembly identification
+
+@dataclasses.dataclass
+class AssemblySysIdResult:
+    """Outcome of :func:`fit_assembly_params`.
+
+    assembly: the fitted RodAssembly (per-rod derived params rebuilt).
+    theta: fitted transform-space variables; every leaf carries a leading
+      M (rod) axis.
+    values: physical-space values per field, shape (M, ...) — read
+      per-rod recoveries (and LOCALIZE a fault) directly from here.
+    loss_history: (steps,) objective value per Adam step.
+    """
+    assembly: object
+    theta: Dict[str, jnp.ndarray]
+    values: Dict[str, np.ndarray]
+    loss_history: jnp.ndarray
+
+
+def _unstack_rods(rods: RodParams, M: int):
+    return [jax.tree.map(lambda x: x[i], rods) for i in range(M)]
+
+
+def fit_assembly_params(
+    asm,
+    plate_traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    fields: Sequence[str] = ("E",),
+    *,
+    steps: int = 200,
+    lr: float = 0.05,
+    w_ori: float = 0.0,
+    optimizer: Optional[optax.GradientTransformation] = None,
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+    solver: str = "auto",
+    chunk: Optional[int] = None,
+) -> AssemblySysIdResult:
+    """Per-rod grey-box identification of a parallel continuum robot from
+    END-PLATE pose observations alone.
+
+    The plate rigidly couples the rods, so a parameter fault in ONE rod
+    (stiffness drop, density error, ...) shifts the shared equilibrium
+    asymmetrically — enough signal to both recover the value and
+    localize which rod carries it, without any per-rod state
+    measurement. Each fitted field gets an independent transform-space
+    variable PER ROD (leading M axis); gradients flow through the whole
+    coupled rollout (``simulate_assembly(differentiable=True)`` — IFT
+    through every (6M+7)-dim implicit solve).
+
+    Args:
+      asm: starting assembly (e.g. all-nominal rods when hunting a fault).
+      plate_traj: observed plate rows, (T, >=3): [p_plate(3), h_plate(4)];
+        positions alone suffice (w_ori adds the quaternion term).
+      controls: (T, M, n_tendons) per-rod applied tensions. An exciting,
+        per-rod-asymmetric schedule separates the rods (see
+        design_experiment for the single-rod analogue).
+      fields: keys of FITTABLE_FIELDS; each is fitted per rod.
+      w_ori: weight of the antipode-safe orientation term
+        1 - <q, q_obs>^2 (needs plate_traj rows of width >= 7).
+      chunk: host-chunked Adam scans with carried optimizer state
+        (bit-identical; bounds compiled-program size exactly like
+        fit_rod_params(chunk=)).
+
+    Returns :class:`AssemblySysIdResult`; ``values[field]`` has shape
+    (M,) (or (M, 3) for logdiag fields) — argmin/argmax over the rod
+    axis localizes the fault. The whole fit is one jitted lax.scan per
+    chunk. No reference analogue (the reference has no assemblies).
+    """
+    from ..core.assembly import simulate_assembly
+
+    dtype = asm.dtype
+    plate_traj = jnp.asarray(plate_traj, dtype)
+    controls = jnp.asarray(controls, dtype)
+    if controls.ndim != 3 or controls.shape[1] != asm.M:
+        raise ValueError(f"controls must be (T, M={asm.M}, n_tendons), "
+                         f"got {controls.shape}")
+    if plate_traj.ndim != 2 or plate_traj.shape[-1] < 3:
+        raise ValueError(f"plate_traj must be (T, >=3), got "
+                         f"{plate_traj.shape}")
+    if plate_traj.shape[0] != controls.shape[0]:
+        raise ValueError("plate_traj and controls must share T")
+    if w_ori and plate_traj.shape[-1] < 7:
+        raise ValueError("w_ori needs plate_traj rows [p(3), h(4)]")
+    if chunk is not None and chunk < 1:
+        raise ValueError(f"chunk must be >= 1, got {chunk}")
+
+    # per-rod transform-space init (each rod's own logdiag/log handling),
+    # stacked to a leading M axis; jax.vmap(apply_theta) inverts it
+    per_rod = [theta_init(r, fields) for r in _unstack_rods(asm.rods,
+                                                            asm.M)]
+    theta0 = jax.tree.map(lambda *xs: jnp.stack(xs), *per_rod)
+    opt = optimizer if optimizer is not None else optax.adam(lr)
+
+    def loss_fn(theta):
+        rods_t = jax.vmap(apply_theta)(asm.rods, theta)
+        sim = simulate_assembly(asm.replace(rods=rods_t), controls,
+                                tol=tol, max_iter=max_iter,
+                                differentiable=True, remat=True,
+                                solver=solver)
+        dp = sim.plate_pose[:, :3] - plate_traj[:, :3]
+        loss = jnp.mean(dp * dp)
+        if w_ori:
+            # normalized, antipode-safe: 1 - cos^2(angle between quats).
+            # Observed mocap quats are not unit-exact and the solver's
+            # h_plate carries f32 rounding, so normalize both.
+            q = sim.plate_pose[:, 3:7]
+            qt = plate_traj[:, 3:7]
+            dot = (jnp.sum(q * qt, axis=-1)
+                   * jax.lax.rsqrt(jnp.sum(q * q, axis=-1)
+                                   * jnp.sum(qt * qt, axis=-1) + 1e-30))
+            loss = loss + w_ori * jnp.mean(1.0 - dot * dot)
+        return loss
+
+    def fit_step(carry, _):
+        th, st = carry
+        value, grads = jax.value_and_grad(loss_fn)(th)
+        updates, st = opt.update(grads, st, th)
+        th = optax.apply_updates(th, updates)
+        return (th, st), value
+
+    def _scan_chunk(theta, opt_state, length):
+        (theta, opt_state), hist = lax.scan(fit_step, (theta, opt_state),
+                                            None, length=length)
+        return theta, opt_state, hist
+
+    scan_chunk = jax.jit(_scan_chunk, static_argnums=2)
+
+    sizes = ([steps] if not chunk else
+             [chunk] * (steps // chunk)
+             + ([steps % chunk] if steps % chunk else []))
+    theta, opt_state = theta0, opt.init(theta0)
+    hists = []
+    for n in sizes:
+        theta, opt_state, hist = scan_chunk(theta, opt_state, n)
+        hists.append(hist)
+    loss_history = jnp.concatenate(hists) if len(hists) > 1 else hists[0]
+
+    rods_fit = jax.vmap(apply_theta)(asm.rods, theta)
+    values = theta_values(theta)
+    return AssemblySysIdResult(assembly=asm.replace(rods=rods_fit),
+                               theta=theta, values=values,
+                               loss_history=loss_history)
