@@ -50,7 +50,8 @@ __all__ = ["FITTABLE_FIELDS", "theta_init", "apply_theta", "theta_values",
            "SysIdResult", "fit_rod_params", "IdentifiabilityReport",
            "identifiability", "DesignResult", "design_experiment",
            "LaplacePosterior", "laplace_posterior", "sample_posterior",
-           "AssemblySysIdResult", "fit_assembly_params"]
+           "AssemblySysIdResult", "fit_assembly_params",
+           "assembly_identifiability"]
 
 # field -> parameterization. log: positive scalar fitted as log(x);
 # logdiag: (3,3) diagonal matrix fitted as log of its diagonal;
@@ -558,6 +559,10 @@ def identifiability(
 
         H = np.asarray(jax.jit(jax.hessian(loss_of_vec))(vec0), np.float64)
         Lval = float(jax.jit(loss_of_vec)(vec0))
+    return _report_from_hessian(labels, H, Lval)
+
+
+def _report_from_hessian(labels, H, Lval) -> "IdentifiabilityReport":
     H = 0.5 * (H + H.T)
     cov = np.linalg.pinv(H)
     std = np.sqrt(np.clip(np.diagonal(cov), 0, None))
@@ -1011,3 +1016,92 @@ def fit_assembly_params(
     return AssemblySysIdResult(assembly=asm.replace(rods=rods_fit),
                                theta=theta, values=values,
                                loss_history=loss_history)
+
+
+def assembly_identifiability(
+    asm,
+    plate_traj: jnp.ndarray,
+    controls: jnp.ndarray,
+    fields: Sequence[str] = ("E",),
+    *,
+    w_ori: float = 0.0,
+    tol: Optional[float] = None,
+    max_iter: int = 50,
+    solver: str = "auto",
+) -> IdentifiabilityReport:
+    """Gauss-Newton/Fisher identifiability of per-rod parameters from
+    end-plate observations — BEFORE running :func:`fit_assembly_params`,
+    ask whether the experiment can resolve them at all.
+
+    The canonical use: on a symmetric M-ring observed by plate POSITION
+    only, the anti-symmetric stiffness mode (rod i up, rod j down) is a
+    near-null Fisher direction — fits silently converge to the mean
+    stiffness (measured, tests/test_sysid.py). This report EXPOSES that
+    flat direction (smallest eigenvalue, its eigenvector split across
+    rods, corr -> -1 between the rods); adding the orientation channel
+    (``w_ori > 0``) closes it.
+
+    Observation model: Gaussian noise on plate position rows and (when
+    w_ori > 0) on the plate quaternion, residual q - sign(<q, q_obs>) *
+    q_obs (antipode-safe; equals the fit objective's 1 - cos^2 term to
+    second order at the optimum — same Fisher information). The Jacobian
+    runs at HIGHEST matmul precision and the Gram in double-double f32
+    (ops/dd.py), exactly like the single-rod ``hessian="gn"`` path, so
+    the spectrum is trustworthy on chip."""
+    from ..core.assembly import simulate_assembly
+
+    dtype = asm.dtype
+    plate_traj = jnp.asarray(plate_traj, dtype)
+    controls = jnp.asarray(controls, dtype)
+    if controls.ndim != 3 or controls.shape[1] != asm.M:
+        raise ValueError(f"controls must be (T, M={asm.M}, n_tendons), "
+                         f"got {controls.shape}")
+    if w_ori and plate_traj.shape[-1] < 7:
+        raise ValueError("w_ori needs plate_traj rows [p(3), h(4)]")
+    T = int(plate_traj.shape[0])
+
+    per_rod = [theta_init(r, fields) for r in _unstack_rods(asm.rods,
+                                                            asm.M)]
+    theta0 = jax.tree.map(lambda *xs: jnp.stack(xs), *per_rod)
+    vec0, flat_labels, unpack = _flatten_theta(theta0)
+    # _flatten_theta labels leading-axis elements by flat index; for the
+    # (M, ...) leaves here index 0 of each field block is rod 0 etc.
+    labels = [f"rod{lab[lab.index('[') + 1:lab.index(']')]}:"
+              f"{lab[:lab.index('[')]}" if "[" in lab else lab
+              for lab in flat_labels]
+
+    def res_of_vec(v):
+        rods_t = jax.vmap(apply_theta)(asm.rods, unpack(v))
+        sim = simulate_assembly(asm.replace(rods=rods_t), controls,
+                                tol=tol, max_iter=max_iter,
+                                differentiable=True, remat=True,
+                                solver=solver)
+        dp = (sim.plate_pose[:, :3] - plate_traj[:, :3]).reshape(-1)
+        parts = [dp / jnp.sqrt(jnp.asarray(3.0 * T, dtype))]
+        if w_ori:
+            q = sim.plate_pose[:, 3:7]
+            qt = plate_traj[:, 3:7]
+            q = q * jax.lax.rsqrt(jnp.sum(q * q, -1, keepdims=True)
+                                  + 1e-30)
+            qt = qt * jax.lax.rsqrt(jnp.sum(qt * qt, -1, keepdims=True)
+                                    + 1e-30)
+            sign = jnp.sign(jnp.sum(q * qt, -1, keepdims=True))
+            dq = (q - jnp.where(sign == 0, 1.0, sign) * qt).reshape(-1)
+            parts.append(dq * jnp.sqrt(jnp.asarray(w_ori / (2.0 * T),
+                                                   dtype)))
+        return jnp.concatenate(parts)
+
+    @jax.jit
+    def gn_parts(v):
+        r = res_of_vec(v)
+        # HIGHEST matmul precision + dd Gram: same rationale (and the
+        # same measured 1e4x default-precision inflation) as the
+        # single-rod gn path above.
+        with jax.default_matmul_precision("highest"):
+            J = jax.jacfwd(res_of_vec)(v)
+        hi, lo = dd_gram(J)
+        return jnp.sum(r * r), hi, lo
+
+    Lv, hi, lo = gn_parts(vec0)
+    H = 2.0 * dd_to_float64(hi, lo)
+    return _report_from_hessian(labels, H, float(Lv))

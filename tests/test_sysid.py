@@ -503,3 +503,41 @@ def test_assembly_fit_input_validation():
         fit_assembly_params(asm, pose[:, :3], good, w_ori=1.0)
     with pytest.raises(ValueError):   # bad chunk
         fit_assembly_params(asm, pose, good, chunk=0)
+
+
+def test_assembly_identifiability_exposes_position_only_degeneracy():
+    """assembly_identifiability must SHOW the flat direction the fit
+    measured: on the symmetric 2-ring observed by plate POSITION only,
+    the anti-symmetric stiffness mode is near-null (fits converge to the
+    mean E); the orientation channel closes it."""
+    from knode_cosserat_tpu.core.assembly import make_ring_assembly
+    from knode_cosserat_tpu.training.sysid import assembly_identifiability
+
+    M, T = 2, 20
+    asm = make_ring_assembly(n_rods=M, N=5, dtype=jnp.float32)
+    del_t = float(np.asarray(jax.tree.map(lambda x: x[0],
+                                          asm.rods).del_t))
+    ctl = jnp.asarray(np.stack(
+        [np.asarray(calc_controls("sine", 0.7, del_t, T)),
+         np.asarray(calc_controls("sine", 1.3, del_t, T))], axis=1),
+        jnp.float32)
+    from knode_cosserat_tpu.core.assembly import simulate_assembly
+    obs = simulate_assembly(asm, ctl)
+
+    rep_pos = assembly_identifiability(asm, obs.plate_pose, ctl,
+                                       fields=("E",), w_ori=0.0)
+    rep_ori = assembly_identifiability(asm, obs.plate_pose, ctl,
+                                       fields=("E",), w_ori=1.0)
+    assert rep_pos.labels == ["rod0:E", "rod1:E"]
+    w_pos = np.asarray(rep_pos.eigvals)
+    w_ori_ = np.asarray(rep_ori.eigvals)
+    # position-only: near-degenerate smallest direction...
+    assert w_pos[0] < 1e-3 * w_pos[-1], w_pos
+    # ...which is the ANTI-symmetric rod mode (components oppose)
+    v = np.asarray(rep_pos.eigvecs)[:, 0]
+    assert v[0] * v[1] < 0, v
+    # ...and the rods' stiffnesses are near-perfectly anticorrelated
+    assert rep_pos.correlation[0, 1] < -0.95, rep_pos.correlation
+    # orientation observation lifts the flat direction by orders
+    assert w_ori_[0] > 30 * w_pos[0], (w_pos[0], w_ori_[0])
+    assert w_ori_[0] > 1e-3 * w_ori_[-1], w_ori_
