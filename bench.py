@@ -2,8 +2,22 @@
 reference PyTorch-CPU fast path (BASELINE.md target: >= 50x).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
-The primary metric is the training throughput; "extra" carries the other
-regression-guarded numbers (also written to BENCH_DETAIL.json):
+
+Output contract (round-5 restructure — the round-4 driver run timed out
+with NOTHING on stdout, rc=124/parsed=null):
+  * The headline JSON line prints IMMEDIATELY after the headline
+    measurement (XLA + fused trainer) and is flushed — nothing that can
+    be slow (extras, grid/wide benches, the live torch baseline) runs
+    before it.
+  * Everything else streams into BENCH_DETAIL.json incrementally, one
+    write per finished metric, under a global wall-clock budget
+    (KNODE_BENCH_BUDGET_S, default 420 s; carried across the axon-lease
+    re-exec via KNODE_BENCH_DEADLINE). When the budget runs out the
+    remaining extras are skipped and listed in extra["skipped"].
+  * The axon-lease retry loop is capped against the same budget (15 s
+    sleeps, stops while >= 180 s remain for the headline).
+
+Secondary metrics in BENCH_DETAIL.json (regression-guarded):
   rollout_xla_steps_per_sec_n10     — vmapped lax.scan rollout, B=256
   rollout_fused_steps_per_sec_n10   — fused Pallas sweep rollout (unrolled)
   rollout_fused_steps_per_sec_n40   — fused Pallas sweep rollout (pipelined)
@@ -11,13 +25,17 @@ regression-guarded numbers (also written to BENCH_DETAIL.json):
   parity_tip_rmse_m                 — f32 rollout vs the f64 CPU golden
   training_mfu_pct                  — epoch-program FLOPs / time / bf16 peak
 Set KNODE_BENCH_FAST=1 to emit only the headline (skips the extras).
+KNODE_BENCH_STRICT=1 exits 2 on a fail-level regression (default: report
+to stderr + BENCH_DETAIL.json, exit 0 — the driver gate must record the
+numbers even on a regressed round; the tpu-tier test enforces the gate).
 
 Workload parity: both sides run the physics_multitrain.py training config —
 2 trajectories ("sine sine 0.5 1.0"), train_len=30, keypoints [3,5,7,9],
 hidden=512, Adam + plateau scheduler + weight clamp — one full epoch =
 forward+backward over all (trajectory, timestep, keypoint) cells plus the
-optimizer update. The torch baseline is measured live from the reference at
-/root/reference when present, else a stored measurement is used.
+optimizer update. The torch baseline is the stored max measurement
+(bench_baseline_torch_cpu.json), refreshed live from /root/reference
+AFTER the headline prints when budget allows.
 """
 import json
 import os
@@ -30,11 +48,24 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, HERE)
 
 STORED_BASELINE_FILE = os.path.join(HERE, "bench_baseline_torch_cpu.json")
+DETAIL_PATH = os.environ.get("KNODE_BENCH_DETAIL",
+                             os.path.join(HERE, "BENCH_DETAIL.json"))
 
-EPOCHS_MEASURE = 200
+EPOCHS_MEASURE = int(os.environ.get("KNODE_BENCH_EPOCHS", "200"))
 TRAIN_LEN = 30
 HIDDEN = 512
 SPECS = [("sine", 0.5), ("sine", 1.0)]
+
+# Global wall budget. The deadline is ABSOLUTE (unix time) so the
+# axon-lease re-exec cannot reset it.
+BUDGET_S = float(os.environ.get("KNODE_BENCH_BUDGET_S", "420"))
+if "KNODE_BENCH_DEADLINE" not in os.environ:
+    os.environ["KNODE_BENCH_DEADLINE"] = str(time.time() + BUDGET_S)
+DEADLINE = float(os.environ["KNODE_BENCH_DEADLINE"])
+
+
+def _remaining() -> float:
+    return DEADLINE - time.time()
 
 
 def measure_torch_cpu_epoch():
@@ -121,8 +152,17 @@ _NOISY = {"serving_latency_ms": 0.60}
 
 
 def _load_previous_bench(history_dir):
-    """Latest BENCH_r*.json with a parsed metric line, or (None, None)."""
+    """Most recent full metric record to regress against.
+
+    Since round 5 the printed line (and therefore the driver's
+    BENCH_r*.json "parsed") carries only the HEADLINE metrics; the full
+    extras live in the committed BENCH_DETAIL.json. The baseline is the
+    latest parsed BENCH_r*.json overlaid with the committed detail file's
+    extras (when it is a non-CPU record) for every metric the official
+    record is missing. Must be called BEFORE this run overwrites
+    BENCH_DETAIL.json."""
     import glob
+    prev, src = None, None
     for path in sorted(glob.glob(os.path.join(history_dir,
                                               "BENCH_r*.json")),
                        reverse=True):
@@ -133,18 +173,39 @@ def _load_previous_bench(history_dir):
             continue
         parsed = doc.get("parsed") or doc
         if isinstance(parsed, dict) and parsed.get("extra"):
-            return parsed, os.path.basename(path)
-    return None, None
+            prev, src = dict(parsed), os.path.basename(path)
+            break
+    detail_path = os.path.join(history_dir, "BENCH_DETAIL.json")
+    try:
+        with open(detail_path) as f:
+            detail = json.load(f)
+        if (isinstance(detail, dict) and detail.get("extra")
+                and detail.get("backend") != "cpu"):
+            if prev is None:
+                prev, src = dict(detail), "BENCH_DETAIL.json"
+            else:
+                merged = dict(detail["extra"])
+                merged.update(prev.get("extra") or {})
+                prev["extra"] = merged
+                src = src + "+DETAIL"
+    except (OSError, ValueError):
+        pass
+    return prev, src
 
 
-def detect_regressions(value, extras, history_dir=HERE,
+def detect_regressions(value, extras, baseline=None,
                        warn_at=0.10, fail_at=0.25):
     """Compare this run's metrics to the previous round's bench record.
+
+    baseline: (prev_dict, source_name) from _load_previous_bench — must be
+    captured before BENCH_DETAIL.json is overwritten; when None it is
+    loaded now (test convenience).
 
     Returns {"baseline", "warn": {metric: -pct}, "fail": {metric: -pct}};
     only metrics with a known goodness direction are compared, and compile
     walls are excluded (they measure cache state)."""
-    prev, src = _load_previous_bench(history_dir)
+    prev, src = baseline if baseline is not None \
+        else _load_previous_bench(HERE)
     report = {"baseline": src, "warn": {}, "fail": {}}
     if prev is None:
         return report
@@ -210,9 +271,28 @@ def _timeit(fn, *args, iters=5, windows=3):
     return best, compile_s
 
 
-def measure_extras(ref, golden_trajs, golden_ctls):
-    """Secondary regression metrics (rollout, serving, parity, MFU inputs).
-    Each is cheap to measure but guards a distinct code path."""
+def timeit_queued(fn, n=5, reps=3):
+    """Queued timing (n runs per sync), best of reps: a per-run sync
+    charges the axon tunnel's ~30 ms host round trip to the chip —
+    measured ~85% of the old headline was tunnel latency, not device
+    time. A locally attached TPU does not pay it. best-of guards against
+    transient lease stalls (observed 2.7x outliers)."""
+    import jax
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = None
+        for _ in range(n):
+            out = fn()
+        jax.block_until_ready(jax.tree.leaves(out)[-1])
+        best = min(best, (time.perf_counter() - t0) / n)
+    return best
+
+
+def extra_steps(ctx):
+    """Yield (name, fn) secondary metric steps, roughly in descending
+    guard-value-per-second order so a tight budget still measures the
+    most important ones. Each fn returns a dict of metric updates."""
     import jax
     import jax.numpy as jnp
     from knode_cosserat_tpu import calc_controls, experimental_rod
@@ -223,55 +303,145 @@ def measure_extras(ref, golden_trajs, golden_ctls):
     # mega = whole Newton shooting step in one kernel launch
     # (ops/pallas_step.py) — the fastest fused path on TPU
     impl = "xla" if on_cpu else "mega"
-    extras = {}
     B, T = 256, 50
 
-    # --- XLA scan rollout, N=10 ---
     p10 = experimental_rod(N=10, dtype=jnp.float32)
     ctls = jnp.asarray(np.stack([
         calc_controls("sine", 0.5 + 0.01 * i, float(p10.del_t), T)
         for i in range(B)]), jnp.float32)
-    xla = jax.jit(jax.vmap(lambda c: simulate_scan(p10, c, tol=1e-10).traj))
-    dt, _ = _timeit(xla, ctls)
-    extras["rollout_xla_steps_per_sec_n10"] = round(B * (T - 1) / dt)
 
-    # --- fused rollouts (mega step kernel; block_b=256 measured best) ---
-    for N in (10, 40):
-        pN = experimental_rod(N=N, dtype=jnp.float32)
-        fast = jax.jit(make_fast_rollout(pN, tol=1e-10,
-                                         block_b=256, impl=impl))
-        dt, compile_s = _timeit(fast, ctls)
-        extras[f"rollout_fused_steps_per_sec_n{N}"] = round(B * (T - 1) / dt)
-        extras[f"rollout_fused_compile_s_n{N}"] = round(compile_s, 1)
+    def fused_rollouts():
+        out = {}
+        for N in (10, 40):
+            pN = experimental_rod(N=N, dtype=jnp.float32)
+            fast = jax.jit(make_fast_rollout(pN, tol=1e-10,
+                                             block_b=256, impl=impl))
+            dt, compile_s = _timeit(fast, ctls)
+            out[f"rollout_fused_steps_per_sec_n{N}"] = round(
+                B * (T - 1) / dt)
+            out[f"rollout_fused_compile_s_n{N}"] = round(compile_s, 1)
+        return out
 
-    # --- parallel-in-space multiple shooting: fine-rod latency path ---
-    # (core/multiple_shooting.py). Single-rollout steps/s at N=161, S=80
-    # with the structured (block-bidiagonal) Newton vs the sequential
-    # sweep's ~33 — the SURVEY §5 "parallel-in-space Newton" capability,
-    # regression-guarded.
-    if not on_cpu:
-        from knode_cosserat_tpu.core.multiple_shooting import \
-            simulate_scan_ms
-        p161 = experimental_rod(N=161, dtype=jnp.float32)
-        ctl1 = ctls[0]
-        ms = jax.jit(lambda c: simulate_scan_ms(p161, c, 80,
-                                                tol=1e-10).traj)
-        dt, _ = _timeit(ms, ctl1)
-        extras["rollout_ms_steps_per_sec_n161"] = round((T - 1) / dt)
+    yield "rollout_fused", fused_rollouts
+
+    def xla_rollout():
+        xla = jax.jit(jax.vmap(
+            lambda c: simulate_scan(p10, c, tol=1e-10).traj))
+        dt, _ = _timeit(xla, ctls)
+        return {"rollout_xla_steps_per_sec_n10": round(B * (T - 1) / dt)}
+
+    yield "rollout_xla", xla_rollout
+
+    # --- sysid: end-to-end wall of a 200-step E-fit (f32, jitted scan) ---
+    # regression metric for the identification subsystem (training/sysid):
+    # plant = reference rod, model = 'youngs' fault, fit log E.
+    def sysid():
+        if on_cpu:
+            return {}
+        from knode_cosserat_tpu.training.sysid import fit_rod_params
+        ps_true = experimental_rod(dtype=jnp.float32)
+        s_ctl = jnp.asarray(ctls[0][:30], jnp.float32)
+        s_traj = jax.jit(lambda c: simulate_scan(ps_true, c).traj)(
+            s_ctl)[:, :, :25]
+        p_fault = experimental_rod("youngs", dtype=jnp.float32)
+
+        def _sysid_run():
+            return fit_rod_params(p_fault, s_traj, s_ctl, fields=("E",),
+                                  steps=200, lr=0.1).loss_history
+
+        # best-of-3: the ~1 s wall rides host re-trace + tunnel jitter
+        # (drifted -21% on a single sample between r03 and r04 runs)
+        _sysid_run()                              # populate compile cache
+        dt, hist = float("inf"), None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            hist = _sysid_run()
+            dt = min(dt, time.perf_counter() - t0)
+        # each call re-traces the fresh jit closure; XLA compile is
+        # cache-hit — the user-visible "how long does an identification
+        # run take" regression number
+        if np.isfinite(np.asarray(hist)).all():
+            return {"sysid_fit200_wall_s": round(dt, 2)}
+        return {}
+
+    yield "sysid", sysid
+
+    # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
+    def serving():
+        from knode_cosserat_tpu.serving import CompiledStepper
+        stepper = CompiledStepper(p10, fast=not on_cpu)
+        return {"serving_latency_ms": round(
+            stepper.benchmark(100, reps=10)["latency_ms"], 3)}
+
+    yield "serving", serving
+
+    # --- parity: f32 device rollout vs the f64 CPU-exact golden ---
+    def parity():
+        if ctx.get("golden_trajs") is None:
+            return {}
+        ctl0 = jnp.asarray(ctx["golden_ctls"][0], jnp.float32)
+        traj = np.asarray(jax.jit(
+            lambda c: simulate_scan(ctx["ref"], c, tol=1e-16).traj)(ctl0))
+        tip = traj[:, -1, :3]
+        gold_tip = np.asarray(ctx["golden_trajs"][0])[:, -1, :3]
+        return {"parity_tip_rmse_m": float(
+            np.sqrt(np.mean((tip - gold_tip[: len(tip)]) ** 2)))}
+
+    yield "parity", parity
+
+    # --- the multitrain grid on the chip: 40 models (the reference's
+    # physics_multitrain workload at n_seeds=5) as ONE vmapped fused
+    # program — utilization scales with grid size (round-2 verdict item 2)
+    def grid():
+        if on_cpu:
+            return {}
+        from knode_cosserat_tpu import apply_mod
+        from knode_cosserat_tpu.models import init_mlp as _init
+        from knode_cosserat_tpu.ops.pallas_train import (
+            make_fused_grid_training_run)
+        spec, cfg = ctx["spec"], ctx["cfg"]
+        tj, cj = ctx["tj"], ctx["cj"]
+        G = 40
+        mods = ["nsw", "short", "youngs", "lengthstiff"]
+        rods = [apply_mod(mods[i % 4]) for i in range(G)]
+        rods_st = jax.tree.map(lambda *xs: jnp.stack(xs), *rods)
+        params_g = [_init(spec, jax.random.PRNGKey(i), jnp.float32)
+                    for i in range(G)]
+        params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params_g)
+        tg = jnp.stack([tj] * G)
+        cg = jnp.stack([cj] * G)
+        grid_run = make_fused_grid_training_run(spec, cfg, EPOCHS_MEASURE)
+        pg, lg, _ = grid_run(rods_st, params_st, tg, cg)   # compile
+        jax.block_until_ready(lg)
+        assert np.isfinite(np.asarray(lg)).all()
+        gsec = timeit_queued(
+            lambda: grid_run(rods_st, params_st, tg, cg), n=2)
+        return {
+            "grid_models_x_epochs_per_sec": round(
+                G * EPOCHS_MEASURE / gsec),
+            "grid_mfu_pct": round(100.0 * ctx["flops_epoch"] * G
+                                  * EPOCHS_MEASURE / gsec / ctx["peak"],
+                                  4),
+        }
+
+    yield "grid", grid
 
     # --- multi-rod assembly: coupled parallel-continuum rollout ---
     # (core/assembly.py — no reference counterpart). 3 rods + rigid plate,
     # one Newton system over [per-rod reactions, plate pose] per step.
-    if not on_cpu:
+    def assembly():
+        if on_cpu:
+            return {}
         from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
                                                       simulate_assembly)
+        out = {}
         asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
                                  dtype=jnp.float32)
-        actl = jnp.broadcast_to(jnp.asarray(ctls[0], jnp.float32)[:, None, :],
-                                (T, 3, 4))
+        actl = jnp.broadcast_to(
+            jnp.asarray(ctls[0], jnp.float32)[:, None, :], (T, 3, 4))
         arun = jax.jit(lambda c: simulate_assembly(asm, c).traj)
         dt, _ = _timeit(arun, actl)
-        extras["assembly_steps_per_sec_3rods"] = round((T - 1) / dt)
+        out["assembly_steps_per_sec_3rods"] = round((T - 1) / dt)
 
         # batched assemblies: the MPC/planning workload (many candidate
         # tension schedules through the coupled solve at once) — vmap
@@ -283,60 +453,101 @@ def measure_extras(ref, golden_trajs, golden_ctls):
         brun = jax.jit(jax.vmap(
             lambda c: simulate_assembly(asm, c, tol=1e-8).plate_pose))
         dt, _ = _timeit(brun, bctl)
-        extras["assembly_batched_steps_per_sec_b256"] = round(
+        out["assembly_batched_steps_per_sec_b256"] = round(
             Ba * (T - 1) / dt)
+        return out
 
-    # --- sysid: teacher-objective Adam steps/s (f32, one jitted scan) ---
-    # regression metric for the identification subsystem (training/sysid):
-    # plant = reference rod, model = 'youngs' fault, fit log E.
-    if not on_cpu:
-        from knode_cosserat_tpu.core.params import experimental_rod
-        from knode_cosserat_tpu.training.sysid import fit_rod_params
-        ps_true = experimental_rod(dtype=jnp.float32)
-        s_ctl = jnp.asarray(ctls[0][:30], jnp.float32)
-        s_traj = jax.jit(lambda c: simulate_scan(ps_true, c).traj)(
-            s_ctl)[:, :, :25]
-        p_fault = experimental_rod("youngs", dtype=jnp.float32)
-        SYS_STEPS = 200
+    yield "assembly", assembly
 
-        def _sysid_run():
-            return fit_rod_params(p_fault, s_traj, s_ctl, fields=("E",),
-                                  steps=SYS_STEPS, lr=0.1).loss_history
+    # --- parallel-in-space multiple shooting: fine-rod latency path ---
+    # (core/multiple_shooting.py). Single-rollout steps/s at N=161, S=80
+    # with the structured (block-bidiagonal) Newton vs the sequential
+    # sweep's ~33 — the SURVEY §5 "parallel-in-space Newton" capability,
+    # regression-guarded.
+    def multiple_shooting():
+        if on_cpu:
+            return {}
+        from knode_cosserat_tpu.core.multiple_shooting import \
+            simulate_scan_ms
+        p161 = experimental_rod(N=161, dtype=jnp.float32)
+        ms = jax.jit(lambda c: simulate_scan_ms(p161, c, 80,
+                                                tol=1e-10).traj)
+        dt, _ = _timeit(ms, ctls[0])
+        return {"rollout_ms_steps_per_sec_n161": round((T - 1) / dt)}
 
-        # best-of-3: the ~1 s wall rides host re-trace + tunnel jitter
-        # (drifted -21% on a single sample between r03 and r04 runs)
-        _sysid_run()                              # populate compile cache
-        dt, hist = float("inf"), None
-        for _ in range(3):
-            t0 = time.perf_counter()
-            hist = _sysid_run()
-            dt = min(dt, time.perf_counter() - t0)
-        # end-to-end wall of a 200-step E-fit (each call re-traces the
-        # fresh jit closure; XLA compile is cache-hit) — the user-visible
-        # "how long does an identification run take" regression number
-        if np.isfinite(np.asarray(hist)).all():
-            extras["sysid_fit200_wall_s"] = round(dt, 2)
+    yield "multiple_shooting", multiple_shooting
 
-    # --- serving latency: one rod, one BDF-2 step (AOT stepper) ---
-    # reps=10: the axon tunnel's host-round-trip jitter spreads a single
-    # best-of-3 measurement 0.49-1.11 ms WITHIN one session (measured
-    # round 4); the min over 10 loops is the stable dispatch+device floor
-    from knode_cosserat_tpu.serving import CompiledStepper
-    stepper = CompiledStepper(p10, fast=not on_cpu)
-    extras["serving_latency_ms"] = round(
-        stepper.benchmark(100, reps=10)["latency_ms"], 3)
+    # --- wide (HBM-streamed) fused trainer: the h=8192 train-real shape.
+    # Guards the streamed Mosaic lowering's throughput, which clears the
+    # materializing XLA path's ~9% MFU traffic ceiling (docs/BENCHMARKS.md
+    # wide roofline; measured 11.9% at this config).
+    def wide():
+        if on_cpu:
+            return {}
+        from knode_cosserat_tpu.models import init_mlp
+        from knode_cosserat_tpu.ops.pallas_train_wide import (
+            make_wide_training_run, wide_trainer_supported)
+        from knode_cosserat_tpu.training import TrainConfig
+        rngw = np.random.default_rng(0)
+        Bw, Tw, Hw = 4, 120, 8192
+        p_mod = ctx["p_mod"]
+        cfg_w = TrainConfig(epochs=EPOCHS_MEASURE, hidden=Hw,
+                            dtype="float32", history=True)
+        spec_w = cfg_w.spec()
+        cells_w = Bw * (Tw - 1) * len(cfg_w.keypoints)
+        assert wide_trainer_supported(spec_w, cells_w)
+        tw = jnp.asarray(rngw.normal(size=(Bw, Tw, int(p_mod.N), 25))
+                         * 0.01, jnp.float32)
+        cw = jnp.asarray(rngw.uniform(1, 3, size=(Bw, Tw, 4)),
+                         jnp.float32)
+        params_w = init_mlp(spec_w, jax.random.PRNGKey(0), jnp.float32)
+        run_w = make_wide_training_run(p_mod, spec_w, cfg_w,
+                                       EPOCHS_MEASURE)
+        _, lw, _ = run_w(params_w, tw, cw)            # compile
+        jax.block_until_ready(lw)
+        assert np.isfinite(np.asarray(lw)).all()
+        wsec = timeit_queued(lambda: run_w(params_w, tw, cw), n=2)
+        weps = EPOCHS_MEASURE / wsec
+        # FLOP convention: ALGORITHMIC matmul flops (fwd 2·H·din + bwd
+        # 2×, per cell, counting the 25-wide output layers as 75 rows) —
+        # phase B's activation RECOMPUTE is excluded, matching the
+        # roofline study's convention in docs/BENCHMARKS.md (which
+        # rooflines the algorithmic work against HBM traffic). Executed
+        # flops are ~1.5x this; do not compare against executed-flop MFU.
+        return {
+            "training_wide_h8192_epochs_per_sec": round(weps, 1),
+            "training_wide_h8192_mfu_pct": round(
+                100.0 * 2.0 * cells_w * Hw * (2 * spec_w.dims[0] + 75)
+                * weps / ctx["peak"], 3),
+        }
 
-    # --- parity: f32 device rollout vs the f64 CPU-exact golden ---
-    # golden_trajs: (B, T, N, 25) state-last
-    if golden_trajs is not None:
-        ctl0 = jnp.asarray(golden_ctls[0], jnp.float32)
-        traj = np.asarray(jax.jit(
-            lambda c: simulate_scan(ref, c, tol=1e-16).traj)(ctl0))
-        tip = traj[:, -1, :3]
-        gold_tip = np.asarray(golden_trajs[0])[:, -1, :3]
-        extras["parity_tip_rmse_m"] = float(
-            np.sqrt(np.mean((tip - gold_tip[: len(tip)]) ** 2)))
-    return extras
+    yield "wide", wide
+
+    # --- refresh the stored torch-CPU baseline (affects the NEXT run's
+    # vs_baseline denominator; the max-ever logic keeps it conservative)
+    def torch_refresh():
+        if not os.path.isdir("/root/reference/knode_cosserat"):
+            return {}
+        live = measure_torch_cpu_epoch()
+        stored = None
+        if os.path.exists(STORED_BASELINE_FILE):
+            with open(STORED_BASELINE_FILE) as f:
+                stored = json.load(f)["torch_cpu_epochs_per_sec"]
+        best = max(x for x in (live, stored) if x is not None)
+        with open(STORED_BASELINE_FILE, "w") as f:
+            json.dump({"torch_cpu_epochs_per_sec": best,
+                       "config": {"trajs": 2, "train_len": TRAIN_LEN,
+                                  "hidden": HIDDEN}}, f)
+        return {"torch_cpu_epochs_per_sec_live": round(live, 2)}
+
+    yield "torch_refresh", torch_refresh
+
+
+def _write_detail(doc):
+    tmp = DETAIL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(doc, f, indent=1)
+    os.replace(tmp, DETAIL_PATH)
 
 
 def main():
@@ -345,16 +556,22 @@ def main():
         jax.config.update("jax_platforms", os.environ["KNODE_PLATFORM"])
     from knode_cosserat_tpu.cli import enable_compile_cache
     enable_compile_cache()
+    # Baseline for the regression tripwire must be captured BEFORE this
+    # run starts overwriting BENCH_DETAIL.json.
+    baseline = _load_previous_bench(HERE)
     # The axon TPU tunnel occasionally fails to acquire the chip for a
     # minute or so after another process releases it, and JAX then falls
     # back to CPU silently — which would record garbage numbers. Re-exec
-    # until the accelerator comes back (unless CPU was asked for).
-    retries = int(os.environ.get("KNODE_BENCH_TPU_RETRIES", "5"))
+    # until the accelerator comes back (unless CPU was asked for), but
+    # never spend the budget waiting: stop while the headline still fits.
+    retries = int(os.environ.get("KNODE_BENCH_TPU_RETRIES", "8"))
     if (jax.default_backend() == "cpu"
-            and not os.environ.get("KNODE_PLATFORM") and retries > 0):
+            and not os.environ.get("KNODE_PLATFORM")
+            and retries > 0 and _remaining() > 180):
         print(f"# TPU backend unavailable (transient axon lease?); "
-              f"re-exec in 60s ({retries} retries left)", file=sys.stderr)
-        time.sleep(60)
+              f"re-exec in 15s ({retries} retries left, "
+              f"{_remaining():.0f}s budget left)", file=sys.stderr)
+        time.sleep(15)
         os.environ["KNODE_BENCH_TPU_RETRIES"] = str(retries - 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
     import jax.numpy as jnp
@@ -395,22 +612,6 @@ def main():
     p1, o1, losses = run(params, opt_state, tj, cj)
     jax.block_until_ready(losses)
 
-    # Queued timing (5 runs per sync), best of 3: a per-run sync charges
-    # the axon tunnel's ~30 ms host round trip to the chip — measured
-    # ~85% of the old headline was tunnel latency, not device time. A
-    # locally attached TPU does not pay it. best-of guards against
-    # transient lease stalls (observed 2.7x outliers).
-    def timeit_queued(fn, n=5, reps=3):
-        best = float("inf")
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            out = None
-            for _ in range(n):
-                out = fn()
-            jax.block_until_ready(jax.tree.leaves(out)[-1])
-            best = min(best, (time.perf_counter() - t0) / n)
-        return best
-
     train_seconds = timeit_queued(
         lambda: run(params, opt_state, tj, cj))
     xla_eps = EPOCHS_MEASURE / train_seconds
@@ -422,7 +623,7 @@ def main():
     # 200-epoch run is ONE kernel launch; headline when supported. This is
     # also the path `knode train` takes on TPU (training/train.py routes
     # chunks through it — cfg.fused="auto").
-    extras_train = {"training_xla_epochs_per_sec": round(xla_eps, 1)}
+    extras = {"training_xla_epochs_per_sec": round(xla_eps, 1)}
     try:
         from knode_cosserat_tpu.ops.pallas_train import (
             fused_trainer_supported, make_fused_training_run)
@@ -433,8 +634,7 @@ def main():
                                             EPOCHS_MEASURE)
             fused_seconds = timeit_queued(lambda: run_f(params, tj, cj))
             fused_eps = EPOCHS_MEASURE / fused_seconds
-            extras_train["training_fused_epochs_per_sec"] = round(
-                fused_eps, 1)
+            extras["training_fused_epochs_per_sec"] = round(fused_eps, 1)
             _, lf, _ = run_f(params, tj, cj)
             assert np.isfinite(np.asarray(lf)).all()
             if fused_eps > ours:
@@ -449,8 +649,6 @@ def main():
     # ~200x in round 2 (0.036 vs ~7 analytic GFLOP per 200 epochs), so the
     # count is now explicit: per epoch the trainer runs five MXU matmuls
     # over Cp padded cells — W1@x, W2@h fwd; dW2, dh, dW1 bwd.
-    extras = dict(extras_train)
-
     def epoch_matmul_flops(n_cells, hidden, din):
         # mirrors ops/pallas_train.precompute's tile padding exactly
         from knode_cosserat_tpu.ops.pallas_train import _pick_tiling
@@ -465,105 +663,16 @@ def main():
     extras["training_program_gflops"] = round(
         flops_epoch * EPOCHS_MEASURE / 1e9, 3)
 
-    # --- the multitrain grid on the chip: 40 models (the reference's
-    # physics_multitrain workload at n_seeds=5) as ONE vmapped fused
-    # program — utilization scales with grid size (round-2 verdict item 2)
-    if jax.default_backend() != "cpu":
-        try:
-            from knode_cosserat_tpu.ops.pallas_train import (
-                make_fused_grid_training_run)
-            from knode_cosserat_tpu.models import init_mlp as _init
-            G = 40
-            mods = ["nsw", "short", "youngs", "lengthstiff"]
-            rods = [apply_mod(mods[i % 4]) for i in range(G)]
-            rods_st = jax.tree.map(lambda *xs: jnp.stack(xs), *rods)
-            params_g = [_init(spec, jax.random.PRNGKey(i), jnp.float32)
-                        for i in range(G)]
-            params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params_g)
-            tg = jnp.stack([tj] * G)
-            cg = jnp.stack([cj] * G)
-            grid_run = make_fused_grid_training_run(spec, cfg,
-                                                    EPOCHS_MEASURE)
-            pg, lg, _ = grid_run(rods_st, params_st, tg, cg)   # compile
-            jax.block_until_ready(lg)
-            assert np.isfinite(np.asarray(lg)).all()
-            gsec = timeit_queued(
-                lambda: grid_run(rods_st, params_st, tg, cg), n=2)
-            extras["grid_models_x_epochs_per_sec"] = round(
-                G * EPOCHS_MEASURE / gsec)
-            extras["grid_mfu_pct"] = round(
-                100.0 * flops_epoch * G * EPOCHS_MEASURE / gsec / peak, 4)
-        except Exception as e:
-            print(f"# grid bench failed: {e}", file=sys.stderr)
-
-    # --- wide (HBM-streamed) fused trainer: the h=8192 train-real shape.
-    # Guards the streamed Mosaic lowering's throughput, which clears the
-    # materializing XLA path's ~9% MFU traffic ceiling (docs/BENCHMARKS.md
-    # wide roofline; measured 11.9% at this config).
-    if jax.default_backend() != "cpu":
-        try:
-            from knode_cosserat_tpu.ops.pallas_train_wide import (
-                make_wide_training_run, wide_trainer_supported)
-            rngw = np.random.default_rng(0)
-            Bw, Tw, Hw = 4, 120, 8192
-            cfg_w = TrainConfig(epochs=EPOCHS_MEASURE, hidden=Hw,
-                                dtype="float32", history=True)
-            spec_w = cfg_w.spec()
-            cells_w = Bw * (Tw - 1) * len(cfg_w.keypoints)
-            assert wide_trainer_supported(spec_w, cells_w)
-            tw = jnp.asarray(rngw.normal(size=(Bw, Tw, int(p_mod.N), 25))
-                             * 0.01, jnp.float32)
-            cw = jnp.asarray(rngw.uniform(1, 3, size=(Bw, Tw, 4)),
-                             jnp.float32)
-            params_w = init_mlp(spec_w, jax.random.PRNGKey(0), jnp.float32)
-            run_w = make_wide_training_run(p_mod, spec_w, cfg_w,
-                                           EPOCHS_MEASURE)
-            _, lw, _ = run_w(params_w, tw, cw)            # compile
-            jax.block_until_ready(lw)
-            assert np.isfinite(np.asarray(lw)).all()
-            wsec = timeit_queued(lambda: run_w(params_w, tw, cw), n=2)
-            weps = EPOCHS_MEASURE / wsec
-            extras["training_wide_h8192_epochs_per_sec"] = round(weps, 1)
-            extras["training_wide_h8192_mfu_pct"] = round(
-                100.0 * 2.0 * cells_w * Hw * (2 * spec_w.dims[0] + 75)
-                * weps / peak, 3)
-        except Exception as e:
-            print(f"# wide trainer bench failed: {e}", file=sys.stderr)
-
-    if not os.environ.get("KNODE_BENCH_FAST"):
-        try:
-            extras.update(measure_extras(ref, trajs, ctls))
-        except Exception as e:
-            print(f"# extras failed: {e}", file=sys.stderr)
-
-    # torch CPU baseline. The denominator is the FASTEST torch measurement
-    # ever recorded (CPU contention can only slow torch down, so taking the
-    # max keeps the reported speedup conservative/fair).
+    # torch CPU baseline for the printed line: the stored max measurement
+    # (CPU contention can only slow torch down, so the max ever recorded
+    # keeps the reported speedup conservative/fair). A live refresh runs
+    # as the LAST extra, after the headline is safely on stdout.
     torch_eps = None
-    stored = None
     if os.path.exists(STORED_BASELINE_FILE):
         with open(STORED_BASELINE_FILE) as f:
-            stored = json.load(f)["torch_cpu_epochs_per_sec"]
-    try:
-        if os.path.isdir("/root/reference/knode_cosserat"):
-            torch_eps = measure_torch_cpu_epoch()
-    except Exception as e:
-        print(f"# live torch baseline failed: {e}", file=sys.stderr)
-    torch_eps = max(x for x in (torch_eps, stored) if x is not None) \
-        if (torch_eps or stored) else None
-    if torch_eps is not None:
-        with open(STORED_BASELINE_FILE, "w") as f:
-            json.dump({"torch_cpu_epochs_per_sec": torch_eps,
-                       "config": {"trajs": 2, "train_len": TRAIN_LEN,
-                                  "hidden": HIDDEN}}, f)
+            torch_eps = json.load(f)["torch_cpu_epochs_per_sec"]
 
-    reg = detect_regressions(round(ours, 3), extras)
-    extras["regressions"] = reg
-    for sev in ("warn", "fail"):
-        for name, pct in reg[sev].items():
-            print(f"# REGRESSION[{sev}] {name}: {pct}% vs {reg['baseline']}",
-                  file=sys.stderr)
-
+    # ---- headline prints NOW: nothing slow may precede this ----
     vs = (ours / torch_eps) if torch_eps else None
     line = {
         "metric": "knode_batched_training_throughput",
@@ -572,10 +681,50 @@ def main():
         "vs_baseline": round(vs, 2) if vs else None,
         "extra": extras,
     }
-    with open(os.path.join(HERE, "BENCH_DETAIL.json"), "w") as f:
-        json.dump({**line, "device": str(jax.devices()[0].device_kind),
-                   "backend": jax.default_backend()}, f, indent=1)
-    print(json.dumps(line))
+    print(json.dumps(line), flush=True)
+
+    detail = {**line,
+              "extra": dict(extras),
+              "device": str(jax.devices()[0].device_kind),
+              "backend": jax.default_backend(),
+              "budget_s": BUDGET_S}
+    _write_detail(detail)
+
+    # ---- extras: stream into BENCH_DETAIL.json under the wall budget ----
+    skipped = []
+    if not os.environ.get("KNODE_BENCH_FAST"):
+        ctx = {"ref": ref, "p_mod": p_mod, "spec": spec, "cfg": cfg,
+               "tj": tj, "cj": cj, "flops_epoch": flops_epoch,
+               "peak": peak, "golden_trajs": trajs, "golden_ctls": ctls}
+        for name, fn in extra_steps(ctx):
+            if _remaining() < 30:
+                skipped.append(name)
+                continue
+            try:
+                detail["extra"].update(fn())
+            except Exception as e:
+                print(f"# extra '{name}' failed: {e}", file=sys.stderr)
+            detail["extra"]["skipped"] = skipped + ["..."]
+            _write_detail(detail)
+
+    reg = detect_regressions(line["value"], detail["extra"],
+                             baseline=baseline)
+    detail["extra"]["regressions"] = reg
+    detail["extra"]["skipped"] = skipped
+    _write_detail(detail)
+    for sev in ("warn", "fail"):
+        for name, pct in reg[sev].items():
+            print(f"# REGRESSION[{sev}] {name}: {pct}% vs {reg['baseline']}",
+                  file=sys.stderr)
+    if skipped:
+        print(f"# budget exhausted; skipped extras: {skipped}",
+              file=sys.stderr)
+    # Exit status: 0 by default even on fail-level regressions — the
+    # driver's gate must record the measured numbers either way, and the
+    # tpu-tier test (tests/test_tpu_kernels.py) is where fails have
+    # teeth. KNODE_BENCH_STRICT=1 opts into a hard exit for CI use.
+    if reg["fail"] and os.environ.get("KNODE_BENCH_STRICT"):
+        sys.exit(2)
 
 
 if __name__ == "__main__":

@@ -254,6 +254,8 @@ def test_bench_detail_has_no_failing_regressions():
         pytest.skip("no BENCH_DETAIL.json (bench has not run here)")
     with open(detail) as f:
         doc = json.load(f)
+    if doc.get("backend") == "cpu":
+        pytest.skip("BENCH_DETAIL.json is a CPU run (not a chip record)")
     reg = (doc.get("extra") or {}).get("regressions")
     if reg is None:
         pytest.skip("bench predates the regression tripwire")
