@@ -217,6 +217,17 @@ def _make_residual_fn(p, traj, controls, objective, keypoints, spec,
     return res_fn
 
 
+def _chunk_sizes(steps: int, chunk) -> list:
+    """Host-chunk lengths for a `steps`-long Adam scan. Always non-empty:
+    steps=0 yields [0] (one empty lax.scan -> empty history), matching the
+    unchunked path instead of crashing on concatenate([])."""
+    if not chunk:
+        return [steps]
+    sizes = [chunk] * (steps // chunk) + ([steps % chunk]
+                                          if steps % chunk else [])
+    return sizes or [0]
+
+
 def _best_start(final_losses: jnp.ndarray) -> jnp.ndarray:
     """Index of the winning restart. NaN final losses (diverged starts —
     exactly what multi-start exists to survive) are treated as +inf;
@@ -364,9 +375,7 @@ def fit_rod_params(
         """steps as ceil(steps/chunk) jitted programs (2 compilations
         max: the full chunk and the remainder), optimizer state carried
         across; identical math to the single-program scan."""
-        sizes = ([steps] if not chunk else
-                 [chunk] * (steps // chunk)
-                 + ([steps % chunk] if steps % chunk else []))
+        sizes = _chunk_sizes(steps, chunk)
         body = jax.jit(jax.vmap(scan_chunk, in_axes=(0, 0, None))
                        if vmapped else scan_chunk,
                        static_argnums=2)
@@ -1001,9 +1010,7 @@ def fit_assembly_params(
 
     scan_chunk = jax.jit(_scan_chunk, static_argnums=2)
 
-    sizes = ([steps] if not chunk else
-             [chunk] * (steps // chunk)
-             + ([steps % chunk] if steps % chunk else []))
+    sizes = _chunk_sizes(steps, chunk)
     theta, opt_state = theta0, opt.init(theta0)
     hists = []
     for n in sizes:
@@ -1063,12 +1070,19 @@ def assembly_identifiability(
     per_rod = [theta_init(r, fields) for r in _unstack_rods(asm.rods,
                                                             asm.M)]
     theta0 = jax.tree.map(lambda *xs: jnp.stack(xs), *per_rod)
-    vec0, flat_labels, unpack = _flatten_theta(theta0)
-    # _flatten_theta labels leading-axis elements by flat index; for the
-    # (M, ...) leaves here index 0 of each field block is rod 0 etc.
-    labels = [f"rod{lab[lab.index('[') + 1:lab.index(']')]}:"
-              f"{lab[:lab.index('[')]}" if "[" in lab else lab
-              for lab in flat_labels]
+    vec0, _, unpack = _flatten_theta(theta0)
+    # Per-rod labels: each theta leaf is (M, *comp) and ravels row-major,
+    # so flat index k of a field with ncomp components per rod belongs to
+    # rod k//ncomp, component k%ncomp. (A flat 'rod{k}' rename would
+    # misattribute multi-component fields like Bbt — rod index must be
+    # divided by the component count; pinned by test_sysid.py.)
+    labels = []
+    for name in sorted(theta0):        # _flatten_theta flattens sorted
+        shape = jnp.shape(theta0[name])
+        ncomp = int(np.prod(shape[1:])) or 1
+        for k in range(int(shape[0]) * ncomp):
+            suffix = "" if ncomp == 1 else f"[{k % ncomp}]"
+            labels.append(f"rod{k // ncomp}:{name}{suffix}")
 
     def res_of_vec(v):
         rods_t = jax.vmap(apply_theta)(asm.rods, unpack(v))
@@ -1087,8 +1101,11 @@ def assembly_identifiability(
                                     + 1e-30)
             sign = jnp.sign(jnp.sum(q * qt, -1, keepdims=True))
             dq = (q - jnp.where(sign == 0, 1.0, sign) * qt).reshape(-1)
-            parts.append(dq * jnp.sqrt(jnp.asarray(w_ori / (2.0 * T),
-                                                   dtype)))
+            # |q - s*qt|^2 = 2(1-|dot|) ~= 1-dot^2 to second order, so
+            # sqrt(w_ori/T) makes sum(r^2) match the fit objective's
+            # w_ori*mean(1-dot^2) — same curvature, same Fisher weight
+            # (a /2T scaling would halve the orientation block).
+            parts.append(dq * jnp.sqrt(jnp.asarray(w_ori / T, dtype)))
         return jnp.concatenate(parts)
 
     @jax.jit

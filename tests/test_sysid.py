@@ -541,3 +541,110 @@ def test_assembly_identifiability_exposes_position_only_degeneracy():
     # orientation observation lifts the flat direction by orders
     assert w_ori_[0] > 30 * w_pos[0], (w_pos[0], w_ori_[0])
     assert w_ori_[0] > 1e-3 * w_ori_[-1], w_ori_
+
+
+def test_assembly_identifiability_multicomponent_labels():
+    """Advisor round-4 (medium): per-rod labels of MULTI-component fields
+    must divide the flat index by the component count — an (M, 3) Bbt
+    leaf ravels rod-major, so flat index 4 is rod 1's second diagonal
+    entry, not "rod4". Mixed fields keep _flatten_theta's sorted-field
+    block order."""
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  simulate_assembly)
+    from knode_cosserat_tpu.training.sysid import assembly_identifiability
+
+    M, T = 2, 6
+    asm = make_ring_assembly(n_rods=M, N=5, dtype=jnp.float32)
+    del_t = float(np.asarray(jax.tree.map(lambda x: x[0],
+                                          asm.rods).del_t))
+    ctl = jnp.asarray(np.stack(
+        [np.asarray(calc_controls("sine", 0.7, del_t, T)),
+         np.asarray(calc_controls("sine", 1.3, del_t, T))], axis=1),
+        jnp.float32)
+    obs = simulate_assembly(asm, ctl)
+
+    rep = assembly_identifiability(asm, obs.plate_pose, ctl,
+                                   fields=("Bbt",), w_ori=1.0)
+    assert rep.labels == ["rod0:Bbt[0]", "rod0:Bbt[1]", "rod0:Bbt[2]",
+                          "rod1:Bbt[0]", "rod1:Bbt[1]", "rod1:Bbt[2]"]
+    assert rep.hessian.shape == (6, 6)
+
+    rep2 = assembly_identifiability(asm, obs.plate_pose, ctl,
+                                    fields=("Bbt", "E"), w_ori=1.0)
+    assert rep2.labels == ["rod0:Bbt[0]", "rod0:Bbt[1]", "rod0:Bbt[2]",
+                           "rod1:Bbt[0]", "rod1:Bbt[1]", "rod1:Bbt[2]",
+                           "rod0:E", "rod1:E"]
+
+
+def test_assembly_identifiability_loss_matches_fit_objective():
+    """Advisor round-4 (low): the GN residual vector must satisfy
+    sum(r^2) == fit objective (to second order in the quaternion
+    mismatch) INCLUDING the w_ori term — the old sqrt(w_ori/2T) scaling
+    made the orientation block carry half the fit's curvature."""
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  simulate_assembly)
+    from knode_cosserat_tpu.training.sysid import (_unstack_rods,
+                                                   assembly_identifiability)
+
+    M, T, W_ORI = 2, 25, 5.0
+    asm_nom = make_ring_assembly(n_rods=M, N=5, dtype=jnp.float32)
+    rods = _unstack_rods(asm_nom.rods, M)
+    th = theta_init(rods[0], ("E",))
+    th["E"] = th["E"] + jnp.log(jnp.asarray(0.6, jnp.float32))
+    asm_true = asm_nom.replace(rods=jax.tree.map(
+        lambda *xs: jnp.stack(xs), *[apply_theta(rods[0], th), rods[1]]))
+
+    del_t = float(np.asarray(rods[0].del_t))
+    ctl = jnp.asarray(np.stack(
+        [np.asarray(calc_controls("sine", 0.7, del_t, T)),
+         np.asarray(calc_controls("sine", 1.3, del_t, T))], axis=1),
+        jnp.float32)
+    obs = simulate_assembly(asm_true, ctl)        # residuals != 0 at nom
+
+    rep = assembly_identifiability(asm_nom, obs.plate_pose, ctl,
+                                   fields=("E",), w_ori=W_ORI)
+
+    sim = simulate_assembly(asm_nom, ctl)
+    # host comparison in f64: 1 - dot^2 with dot ~ 1 cancels in f32
+    dp = np.asarray(sim.plate_pose[:, :3]
+                    - obs.plate_pose[:, :3], np.float64)
+    q = np.asarray(sim.plate_pose[:, 3:7], np.float64)
+    qt = np.asarray(obs.plate_pose[:, 3:7], np.float64)
+    q = q / np.linalg.norm(q, axis=-1, keepdims=True)
+    qt = qt / np.linalg.norm(qt, axis=-1, keepdims=True)
+    dot = np.sum(q * qt, axis=-1)
+    fit_loss = float(np.mean(dp * dp) + W_ORI * np.mean(1.0 - dot * dot))
+    ori_part = float(W_ORI * np.mean(1.0 - dot * dot))
+    # the orientation term must be a large enough share to discriminate
+    # the factor-2 bug (which would shift the total by ori_part/2)
+    assert ori_part > 0.3 * fit_loss, (ori_part, fit_loss)
+    assert abs(rep.loss_value - fit_loss) < 0.05 * fit_loss, (
+        rep.loss_value, fit_loss)
+
+
+def test_fit_steps_zero_with_chunk_returns_empty_history():
+    """Advisor round-4 (low): steps=0 with chunk set used to crash on
+    jnp.concatenate([]); it must behave like the unchunked length-0 scan
+    (empty history, parameters unchanged)."""
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=6)
+    p0 = experimental_rod("youngs", dtype=jnp.float64)
+    res = fit_rod_params(p0, traj, ctl, fields=("E",), steps=0, chunk=4)
+    assert res.loss_history.shape == (0,)
+    np.testing.assert_allclose(float(res.values["E"]),
+                               float(np.asarray(p0.E)), rtol=1e-12)
+
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  simulate_assembly)
+    from knode_cosserat_tpu.training.sysid import fit_assembly_params
+    asm = make_ring_assembly(n_rods=2, N=5, dtype=jnp.float32)
+    del_t = float(np.asarray(jax.tree.map(lambda x: x[0],
+                                          asm.rods).del_t))
+    ctl2 = jnp.asarray(np.stack(
+        [np.asarray(calc_controls("sine", 0.7, del_t, 4)),
+         np.asarray(calc_controls("sine", 1.3, del_t, 4))], axis=1),
+        jnp.float32)
+    obs = simulate_assembly(asm, ctl2)
+    ares = fit_assembly_params(asm, obs.plate_pose, ctl2, fields=("E",),
+                               steps=0, chunk=5)
+    assert ares.loss_history.shape == (0,)
