@@ -8,13 +8,16 @@ one jit, collectives inserted by XLA and riding ICI. This is the
 multi-device replacement for the reference's single-device torch loop
 (physics_train.py:196-304); no NCCL/torch.distributed analogue is needed.
 
-``ShardedTrainer`` survives as a thin compatibility shim over it (the
-round-2 class with its own lesser loop was folded into train_knode —
-VERDICT r2 item 4); new code should call ``train_knode(mesh=...)``.
+``ShardedTrainer`` is DEPRECATED (VERDICT r4 item 8): it survives for one
+round as a warning alias over ``train_knode(mesh=...)`` and will be
+removed. All tests run on the primary path (tests/test_interop_parallel.py
+calls train_knode(mesh=) directly); only the alias contract itself keeps a
+test.
 """
 from __future__ import annotations
 
 import dataclasses
+import warnings
 
 import numpy as np
 from jax.sharding import Mesh
@@ -26,7 +29,7 @@ __all__ = ["ShardedTrainer"]
 
 
 class ShardedTrainer:
-    """Compat shim: delegates to ``train_knode(mesh=...)``.
+    """DEPRECATED alias: delegates to ``train_knode(mesh=...)``.
 
     trajs (B, T, N, 25) and controls (B, T, 4) shard over "data"/"seq";
     MLP params shard over "model" (see mesh.shard_params_tp). Losses are
@@ -40,6 +43,10 @@ class ShardedTrainer:
     """
 
     def __init__(self, mesh: Mesh, p_mod: RodParams, cfg: TrainConfig):
+        warnings.warn(
+            "ShardedTrainer is deprecated; call "
+            "training.train.train_knode(..., mesh=mesh) directly",
+            DeprecationWarning, stacklevel=2)
         self.mesh = mesh
         self.p = p_mod
         self.cfg = cfg

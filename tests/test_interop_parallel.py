@@ -10,8 +10,7 @@ import pytest
 from knode_cosserat_tpu import apply_mod
 from knode_cosserat_tpu.models import MLPSpec, init_mlp, mlp_apply
 from knode_cosserat_tpu.models.io import load_reference_pth
-from knode_cosserat_tpu.parallel import (ShardedTrainer, build_grid,
-                                         grid_train, make_mesh)
+from knode_cosserat_tpu.parallel import build_grid, grid_train, make_mesh
 from knode_cosserat_tpu.training import (TrainConfig, make_training_data,
                                          train_knode)
 
@@ -43,29 +42,24 @@ def test_load_reference_pth_roundtrip(tmp_path):
     np.testing.assert_allclose(ours, torch_y, rtol=1e-5, atol=1e-6)
 
 
-def test_sharded_trainer_matches_host_trainer():
-    """DP x TP sharded training == single-device training (same math)."""
+def test_sharded_train_knode_matches_host_trainer():
+    """DP x TP sharded train_knode(mesh=) == single-device (same math)."""
     ref = apply_mod(None)
     p_mod = apply_mod("nsw")
     trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 4, train_len=6)
     trajs = np.asarray(trajs, np.float32)
     ctls = np.asarray(ctls, np.float32)
-    cfg = TrainConfig(epochs=5, hidden=32, dtype="float32", seed=0)
+    cfg = TrainConfig(epochs=4, hidden=32, dtype="float32", seed=0,
+                      log_every=1000)
 
     mesh = make_mesh(data=4, model=2)
-    st = ShardedTrainer(mesh, p_mod, cfg)
-    sharded_losses = st.fit(trajs, ctls, epochs=5)
-
-    host = train_knode(p_mod, trajs, ctls,
-                       TrainConfig(epochs=4, hidden=32, dtype="float32",
-                                   seed=0, log_every=1000),
-                       log=None)
+    sharded = train_knode(p_mod, trajs, ctls, cfg, log=None, mesh=mesh)
+    host = train_knode(p_mod, trajs, ctls, cfg, log=None)
     # loss trajectories agree to float32 reduction-order noise
-    np.testing.assert_allclose(sharded_losses[:5], host.loss_history[:5],
-                               rtol=1e-4)
+    np.testing.assert_allclose(sharded.loss_history[:5],
+                               host.loss_history[:5], rtol=1e-4)
     # final params agree across the mesh gather
-    # (host ran 5 steps: epochs=4 means range(5))
-    for a, b in zip(jax.tree.leaves(st.gathered_params()),
+    for a, b in zip(jax.tree.leaves(sharded.params),
                     jax.tree.leaves(host.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-3,
                                    atol=1e-5)
@@ -196,17 +190,13 @@ def test_sequence_parallel_matches_host():
     trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=8)
     trajs = np.asarray(trajs, np.float32)
     ctls = np.asarray(ctls, np.float32)
-    cfg = TrainConfig(epochs=3, hidden=32, dtype="float32", seed=1)
-
     mesh = make_mesh(data=2, seq=2, model=2)
-    st = ShardedTrainer(mesh, p_mod, cfg)
-    sharded_losses = st.fit(trajs, ctls, epochs=3)
-
-    host = train_knode(p_mod, trajs, ctls,
-                       TrainConfig(epochs=2, hidden=32, dtype="float32",
-                                   seed=1, log_every=1000), log=None)
-    np.testing.assert_allclose(sharded_losses[:3], host.loss_history[:3],
-                               rtol=1e-4)
+    cfg = TrainConfig(epochs=2, hidden=32, dtype="float32", seed=1,
+                      log_every=1000)
+    sharded = train_knode(p_mod, trajs, ctls, cfg, log=None, mesh=mesh)
+    host = train_knode(p_mod, trajs, ctls, cfg, log=None)
+    np.testing.assert_allclose(sharded.loss_history[:3],
+                               host.loss_history[:3], rtol=1e-4)
 
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -183,17 +183,22 @@ def test_validation_reference_accepts_both_layouts():
                                rtol=1e-9)
 
 
-def test_sharded_trainer_is_single_shot():
+def test_sharded_trainer_deprecated_alias():
+    """ShardedTrainer is a one-round deprecation alias over
+    train_knode(mesh=): it must warn on construction, still train, and
+    stay single-shot (VERDICT r4 item 8)."""
     from knode_cosserat_tpu.parallel import ShardedTrainer, make_mesh
 
     ref = apply_mod(None)
     p_mod = apply_mod("nsw")
     trajs, ctls = make_training_data(ref, [("sine", 0.5)] * 2, train_len=6)
-    st = ShardedTrainer(make_mesh(data=2),  p_mod,
-                        TrainConfig(epochs=2, hidden=16, dtype="float32",
-                                    log_every=1000))
-    st.fit(np.asarray(trajs, np.float32), np.asarray(ctls, np.float32),
-           epochs=2)
+    with pytest.warns(DeprecationWarning, match="train_knode"):
+        st = ShardedTrainer(make_mesh(data=2),  p_mod,
+                            TrainConfig(epochs=2, hidden=16,
+                                        dtype="float32", log_every=1000))
+    losses = st.fit(np.asarray(trajs, np.float32),
+                    np.asarray(ctls, np.float32), epochs=2)
+    assert len(losses) == 2 and np.all(np.isfinite(losses))
     with pytest.raises(RuntimeError, match="single-shot"):
         st.fit(np.asarray(trajs, np.float32), np.asarray(ctls, np.float32),
                epochs=2)
