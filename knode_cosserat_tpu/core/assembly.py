@@ -571,11 +571,17 @@ def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
                         nn_fn=None, nn_history: bool = False,
                         tol: float = 1e-10, max_iter: int = 50,
                         differentiable: bool = False, nn_spec=None,
-                        nn_params=None, solver: str = "auto"):
+                        nn_params=None, solver: str = "auto",
+                        solve_fn=None):
     """One coupled BDF-2 step from an arbitrary carry — the building block
     of simulate_assembly's scan and of moving-horizon planning. tensions:
     (M, n_tendons). Returns (carry', record (M, N, 50), plate_pose (7,),
-    G (M, 6), stats)."""
+    G (M, 6), stats).
+
+    solve_fn: optional replacement for the XLA Newton solve — e.g. the
+    fused mega-kernel (ops/pallas_assembly.make_assembly_step_kernel);
+    signature (X0, yh, zh, tf, pph, vph, hph, wbh) -> (X, y, z_body, r2,
+    iters). When given, nn/differentiable/solver args are ignored."""
     rods = asm.rods
     M = asm.M
     dtype = asm.dtype
@@ -594,10 +600,16 @@ def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
                     jnp.asarray(rods.tendon_dirs, dtype),
                     precision=lax.Precision.HIGHEST)
     X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
-    y_new, z_body, X, stats = assembly_solve_step(
-        asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
-        tol, max_iter, differentiable=differentiable,
-        nn_spec=nn_spec, nn_params=nn_params, solver=solver)
+    if solve_fn is not None:
+        X, y_new, z_body, r2, iters = solve_fn(X0, yh, zh, tf, pph, vph,
+                                               hph, wbh)
+        stats = NewtonStats(iters, jnp.sqrt(r2), r2 <= tol,
+                            jnp.array(0, jnp.int32))
+    else:
+        y_new, z_body, X, stats = assembly_solve_step(
+            asm, yh, zh, tf, X0, pph, vph, hph, wbh, nn_fn, nn_history,
+            tol, max_iter, differentiable=differentiable,
+            nn_spec=nn_spec, nn_params=nn_params, solver=solver)
     G_new = X[: 6 * M].reshape(M, 6)
     pp_new = X[6 * M: 6 * M + 3]
     hp_new = X[6 * M + 3:]
@@ -626,6 +638,7 @@ def simulate_assembly(
     nn_spec=None,
     nn_params=None,
     solver: str = "auto",
+    fused: bool | str = False,
 ) -> AssemblySimOutput:
     """Closed-loop BDF-2 rollout of the coupled assembly.
 
@@ -643,15 +656,36 @@ def simulate_assembly(
     its OWN weights — e.g. per-rod residuals trained on coupled data
     (tests/test_assembly.py::test_train_knode_on_assembly_data produces
     exactly such weights).
+
+    fused=True runs every coupled Newton solve inside ONE Pallas
+    mega-kernel launch (ops/pallas_assembly) — the single-assembly
+    latency path (measured >10x the XLA path on chip at M=3, N=10).
+    Requires no NN, no contact, not differentiable; same trajectory to
+    solver tolerance (tests/test_assembly_fused.py). fused="interpret"
+    runs the kernel in interpreter mode (CPU tests).
     """
     if tol is None:
         tol = 1e-16 if jnp.dtype(asm.dtype) == jnp.float64 else 1e-10
+
+    solve_fn = None
+    if fused:
+        if nn_fn is not None or nn_params is not None:
+            raise NotImplementedError("fused=True does not support KNODE "
+                                      "residuals yet; use fused=False")
+        if differentiable:
+            raise NotImplementedError(
+                "fused=True is a forward solver; differentiable rollouts "
+                "use the XLA path (fused=False)")
+        from ..ops.pallas_assembly import make_assembly_step_kernel
+        solve_fn = make_assembly_step_kernel(
+            asm, tol=tol, max_iter=max_iter,
+            interpret=(fused == "interpret"))
 
     def step(carry, tensions):
         new_carry, record, plate7, G_new, stats = assembly_step_carry(
             asm, carry, tensions, nn_fn, nn_history, tol, max_iter,
             differentiable=differentiable, nn_spec=nn_spec,
-            nn_params=nn_params, solver=solver)
+            nn_params=nn_params, solver=solver, solve_fn=solve_fn)
         return new_carry, (record, plate7, G_new, stats.iterations,
                            stats.residual_norm)
 

@@ -356,3 +356,41 @@ def test_tpu_wide_trainer_mosaic_lowering_and_mfu():
     din = spec.dims[0]
     mfu = 2.0 * n_cells * hidden * (2 * din + 75) * eps / 197e12 * 100
     assert mfu > 9.5, (eps, mfu)
+
+
+def test_tpu_fused_assembly_step_matches_xla():
+    """The coupled-assembly mega-kernel COMPILED on the chip: plate pose
+    must agree with the XLA path to solver tolerance, converge every
+    step, and beat the XLA path's wall clock by >=10x (VERDICT-r4 item 4;
+    measured headroom recorded in docs/BENCHMARKS.md)."""
+    import time
+
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  simulate_assembly)
+
+    T = 101
+    asm = make_ring_assembly(n_rods=3, base_radius=0.05, N=10,
+                             dtype=jnp.float32)
+    dt = float(np.asarray(jax.tree.map(lambda x: x[0], asm.rods).del_t))
+    ctl = jnp.asarray(np.stack(
+        [np.asarray(calc_controls("sine", a, dt, T))
+         for a in (0.7, 1.0, 1.3)], axis=1), jnp.float32)
+
+    xla = jax.jit(lambda c: simulate_assembly(asm, c))
+    fus = jax.jit(lambda c: simulate_assembly(asm, c, fused=True))
+    out_x = jax.block_until_ready(xla(ctl))
+    out_f = jax.block_until_ready(fus(ctl))
+    np.testing.assert_allclose(np.asarray(out_f.plate_pose),
+                               np.asarray(out_x.plate_pose), atol=5e-5)
+    assert np.asarray(out_f.residual_norm).max() < 1e-4
+    assert np.all(np.asarray(out_f.newton_iters)[1:] >= 1)
+
+    def wall(fn):
+        n, t0 = 0, time.perf_counter()
+        while time.perf_counter() - t0 < 1.5:
+            jax.block_until_ready(fn(ctl))
+            n += 1
+        return (time.perf_counter() - t0) / n
+
+    w_x, w_f = wall(xla), wall(fus)
+    assert w_x / w_f >= 10.0, (w_x, w_f)
