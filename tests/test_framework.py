@@ -432,7 +432,7 @@ def test_bench_regression_tripwire(tmp_path):
     import json as _json
 
     sys.path.insert(0, str(REPO))
-    from bench import detect_regressions
+    from bench import _load_previous_bench, detect_regressions
 
     prev = {"parsed": {
         "metric": "knode_batched_training_throughput",
@@ -454,7 +454,7 @@ def test_bench_regression_tripwire(tmp_path):
         "rollout_fused_compile_s_n40": 150.0,        # cold cache: ignored
         "parity_tip_rmse_m": 1.05e-8,
         "training_program_gflops": 6.9,
-    }, history_dir=str(tmp_path))
+    }, baseline=_load_previous_bench(str(tmp_path)))
     assert rep["baseline"] == "BENCH_r03.json"
     assert rep["warn"] == {} and rep["fail"] == {}
 
@@ -463,22 +463,24 @@ def test_bench_regression_tripwire(tmp_path):
         "rollout_fused_steps_per_sec_n40": 700000,   # -12.5% -> warn
         "serving_latency_ms": 1.0,                   # 2x -> fail
         "parity_tip_rmse_m": 2e-8,                   # 2x -> fail
-    }, history_dir=str(tmp_path))
+    }, baseline=_load_previous_bench(str(tmp_path)))
     assert "rollout_fused_steps_per_sec_n40" in rep["warn"]
     assert "serving_latency_ms" in rep["fail"]
     assert "parity_tip_rmse_m" in rep["fail"]
     # headline drop beyond 25% fails too
-    rep = detect_regressions(20000.0, {}, history_dir=str(tmp_path))
+    rep = detect_regressions(20000.0, {}, baseline=_load_previous_bench(str(tmp_path)))
     assert "headline_epochs_per_sec" in rep["fail"]
 
     # jitter-class metric (bench._NOISY): +40% serving latency is within
     # the measured axon-tunnel session noise (0.49-1.11 ms spread) ->
     # warn, not fail; only past the 60% envelope does it fail
     rep = detect_regressions(30000.0, {"serving_latency_ms": 0.7},
-                             history_dir=str(tmp_path))
+                             baseline=_load_previous_bench(str(tmp_path)))
     assert "serving_latency_ms" in rep["warn"]
     assert "serving_latency_ms" not in rep["fail"]
 
     # no history -> empty report, never crashes
-    rep = detect_regressions(1.0, {}, history_dir=str(tmp_path / "empty"))
+    (tmp_path / "empty").mkdir()
+    rep = detect_regressions(
+        1.0, {}, baseline=_load_previous_bench(str(tmp_path / "empty")))
     assert rep["baseline"] is None and rep["fail"] == {}
