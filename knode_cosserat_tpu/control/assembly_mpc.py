@@ -51,15 +51,21 @@ class AssemblyPlanResult(NamedTuple):
 def rollout_plate(asm: RodAssembly, carry: AssemblyCarry, tensions,
                   nn_fn=None, nn_history: bool = False,
                   nn_spec=None, nn_params=None,
-                  tol: float = 1e-8, max_iter: int = 30):
+                  tol: float = 1e-8, max_iter: int = 30, solve_fn=None):
     """Differentiable H-step assembly rollout from ``carry`` under a
     (H, M, n_tendons) tension schedule; returns (plate poses (H, 7),
     final AssemblyCarry). Gradients w.r.t. tensions / NN weights flow
-    through every coupled implicit solve."""
+    through every coupled implicit solve.
+
+    solve_fn: optional fused forward solver (the mega-kernel from
+    ops/pallas_assembly.make_assembly_step_kernel) — roots come from one
+    Pallas launch per step, gradients still via the implicit function
+    theorem (assembly_step_carry's hybrid branch)."""
     def step(c, u):
         nxt, _, plate7, _, _ = assembly_step_carry(
             asm, c, u, nn_fn, nn_history, tol, max_iter,
-            differentiable=True, nn_spec=nn_spec, nn_params=nn_params)
+            differentiable=True, nn_spec=nn_spec, nn_params=nn_params,
+            solve_fn=solve_fn)
         return nxt, plate7
 
     final, plates = jax.lax.scan(step, carry,
@@ -89,6 +95,7 @@ def make_assembly_planner(
     w_ori: float = 0.0,
     tol: float = 1e-8,
     max_iter: int = 30,
+    fused: bool | str = False,
 ) -> Callable[..., AssemblyPlanResult]:
     """Build the jitted assembly plan function.
 
@@ -100,11 +107,24 @@ def make_assembly_planner(
       nn_params: per-rod KNODE weights stacked along a leading M axis
         (pairs with ``nn_spec``), as produced by training on per-rod
         assembly data.
+      fused: solve every horizon step's root with the Pallas mega-kernel
+        (ops/pallas_assembly; 14x marginal forward speed on chip) while
+        gradients keep flowing through custom_root's implicit function
+        theorem. Physics-only planning (nn_spec must be None).
     """
     span = float(u_max) - float(u_min)
     lo = float(u_min)
     M = asm.M
     n_t = int(asm.rods.n_tendons)
+    solve_fn = None
+    if fused:
+        if nn_spec is not None:
+            raise NotImplementedError("fused planning does not support "
+                                      "KNODE residuals yet")
+        from ..ops.pallas_assembly import make_assembly_step_kernel
+        solve_fn = make_assembly_step_kernel(
+            asm, tol=tol, max_iter=max_iter,
+            interpret=(fused == "interpret"))
 
     def to_u(logits):
         return lo + span * jax.nn.sigmoid(logits)
@@ -113,7 +133,7 @@ def make_assembly_planner(
         u = to_u(logits)
         plates, _ = rollout_plate(asm, carry, u, nn_spec=nn_spec,
                                   nn_params=nn_params, tol=tol,
-                                  max_iter=max_iter)
+                                  max_iter=max_iter, solve_fn=solve_fn)
         track = jnp.mean(jnp.sum((plates[:, :3] - target_pos) ** 2,
                                  axis=-1))
         if w_ori > 0.0:
@@ -153,7 +173,7 @@ def make_assembly_planner(
         u = to_u(logits)
         plates, _ = rollout_plate(asm, carry, u, nn_spec=nn_spec,
                                   nn_params=nn_params, tol=tol,
-                                  max_iter=max_iter)
+                                  max_iter=max_iter, solve_fn=solve_fn)
         final_cost = cost_fn(logits, carry, target_pos, target_quat,
                              nn_params, u_last)
         return AssemblyPlanResult(u, logits, final_cost, costs, plates)

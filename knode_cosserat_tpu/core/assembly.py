@@ -600,7 +600,32 @@ def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
                     jnp.asarray(rods.tendon_dirs, dtype),
                     precision=lax.Precision.HIGHEST)
     X0 = jnp.concatenate([(2.0 * G - G_prev).reshape(-1), pp, hp])
-    if solve_fn is not None:
+    if solve_fn is not None and differentiable:
+        # hybrid implicit solve: the fused mega-kernel produces the ROOT
+        # (forward pass), the implicit function theorem produces the
+        # gradients through the XLA residual's Jacobian at that root —
+        # fused forward speed with the exact custom_root cotangents the
+        # pure-XLA path has (MPC planning's per-step structure)
+        res = partial(_assembly_residual, asm, yh=yh, zh=zh, tf=tf,
+                      pph=pph, vph=vph, hph=hph, wbh=wbh, nn_fn=nn_fn,
+                      nn_history=nn_history, nn_spec=nn_spec,
+                      nn_params=nn_params)
+
+        def fwd_solve(f, x0):
+            return solve_fn(x0, yh, zh, tf, pph, vph, hph, wbh)[0]
+
+        def tangent_solve(g, y_t):
+            J = jax.jacobian(g)(jnp.zeros_like(y_t))
+            return jnp.linalg.solve(J, y_t)
+
+        X = lax.custom_root(res, X0, fwd_solve, tangent_solve)
+        y_new, z_body = _sweep_all(asm.rods, X[: 6 * asm.M].reshape(
+            asm.M, 6), yh, zh, tf, nn_fn, nn_history, nn_spec, nn_params)
+        r = res(jax.lax.stop_gradient(X))
+        r2 = jnp.sum(r * r)
+        stats = NewtonStats(jnp.array(0, jnp.int32), jnp.sqrt(r2),
+                            r2 <= tol, jnp.array(0, jnp.int32))
+    elif solve_fn is not None:
         X, y_new, z_body, r2, iters = solve_fn(X0, yh, zh, tf, pph, vph,
                                                hph, wbh)
         stats = NewtonStats(iters, jnp.sqrt(r2), r2 <= tol,
@@ -659,10 +684,12 @@ def simulate_assembly(
 
     fused=True runs every coupled Newton solve inside ONE Pallas
     mega-kernel launch (ops/pallas_assembly) — the single-assembly
-    latency path (measured >10x the XLA path on chip at M=3, N=10).
-    Requires no NN, no contact, not differentiable; same trajectory to
-    solver tolerance (tests/test_assembly_fused.py). fused="interpret"
-    runs the kernel in interpreter mode (CPU tests).
+    latency path (measured 14x the XLA path's marginal rate on chip at
+    M=3, N=10). Requires no NN and no contact; same trajectory to solver
+    tolerance (tests/test_assembly_fused.py). Composes with
+    differentiable=True: the kernel solves each root, custom_root's
+    implicit function theorem supplies the gradients (fused-forward MPC).
+    fused="interpret" runs the kernel in interpreter mode (CPU tests).
     """
     if tol is None:
         tol = 1e-16 if jnp.dtype(asm.dtype) == jnp.float64 else 1e-10
@@ -672,10 +699,9 @@ def simulate_assembly(
         if nn_fn is not None or nn_params is not None:
             raise NotImplementedError("fused=True does not support KNODE "
                                       "residuals yet; use fused=False")
-        if differentiable:
-            raise NotImplementedError(
-                "fused=True is a forward solver; differentiable rollouts "
-                "use the XLA path (fused=False)")
+        # differentiable=True composes: the kernel solves the root, the
+        # implicit function theorem supplies gradients (see
+        # assembly_step_carry's hybrid custom_root branch)
         from ..ops.pallas_assembly import make_assembly_step_kernel
         solve_fn = make_assembly_step_kernel(
             asm, tol=tol, max_iter=max_iter,

@@ -42,7 +42,7 @@ def main():
     params_st = jax.tree.map(lambda *xs: jnp.stack(xs), *params)
 
     peak = 197e12
-    for mult in (1, 2, 4):
+    for mult in (1, 2, 4, 8, 16):
         tj = jnp.asarray(np.concatenate([trajs] * mult))
         cj = jnp.asarray(np.concatenate([ctls] * mult))
         n_cells = tj.shape[0] * (tj.shape[1] - 1) * len(cfg.keypoints)

@@ -88,5 +88,25 @@ def test_fused_rejects_unsupported_configs():
     with pytest.raises(NotImplementedError, match="KNODE"):
         simulate_assembly(asm, ctl, fused="interpret",
                           nn_fn=lambda x: 0.0 * x[..., :25])
-    with pytest.raises(NotImplementedError, match="differentiable"):
-        simulate_assembly(asm, ctl, fused="interpret", differentiable=True)
+
+
+def test_fused_differentiable_gradient_matches_xla():
+    """fused + differentiable: the mega-kernel solves each root, the
+    implicit function theorem supplies gradients through the XLA residual
+    — d(plate pose)/d(controls) must match the pure-XLA custom_root path
+    (the MPC planning structure, control/assembly_mpc.rollout_plate)."""
+    asm = make_ring_assembly(n_rods=2, base_radius=0.04, N=5,
+                             dtype=jnp.float32)
+    ctl = _controls(asm, 4, args=(0.8, 1.2))
+
+    def tip_z(c, fused):
+        out = simulate_assembly(asm, c, differentiable=True,
+                                fused="interpret" if fused else False,
+                                tol=1e-12)
+        return jnp.sum(out.plate_pose[-1, :3])
+
+    g_xla = jax.grad(lambda c: tip_z(c, False))(ctl)
+    g_fus = jax.grad(lambda c: tip_z(c, True))(ctl)
+    # same IFT tangent solve at (slightly) different f32 roots
+    np.testing.assert_allclose(np.asarray(g_fus), np.asarray(g_xla),
+                               rtol=2e-2, atol=1e-4)
