@@ -92,13 +92,31 @@ def _fixed_vmem_bytes(hidden: int, din: int) -> int:
 
 
 def _pick_tiling(n_cells: int, hidden: int, din: int):
-    """-> (n_tiles, tile): 128-aligned lane tile under the VMEM model."""
-    bytes_per_lane = 4 * (5 * hidden + din + 60)
+    """-> (n_tiles, tile): 128-aligned lane tile under the VMEM model.
+
+    Two VMEM scalings: the working set (activations, gradients) lives on
+    ONE tile's lanes, but the input slabs (x, y_base, z_phys, targets,
+    mask — din+54 rows plus slack) are whole-array residents across ALL
+    n_tiles. The round-5 grid width study OOM'd the chip at a 3 x 1280
+    tiling (16.3M scoped vs the 16M limit, cells=3712) because the old
+    model charged the inputs for one tile only."""
+    in_rows = din + 60
+    work = 5 * hidden
     avail = max(int(VMEM_BUDGET) - _fixed_vmem_bytes(hidden, din), 0)
-    tile_max = max(128, (avail // bytes_per_lane) // 128 * 128)
+    cells_pad = ((n_cells + 127) // 128) * 128
+    input_total = 4 * cells_pad * in_rows
+    tile_max = max(128, ((avail - input_total) // (4 * work))
+                   // 128 * 128)
     n_tiles = -(-n_cells // tile_max)
     tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
     return n_tiles, tile
+
+
+def _tiling_vmem_bytes(n_cells: int, hidden: int, din: int) -> int:
+    """Modeled VMEM bytes of the tiling _pick_tiling returns."""
+    n_tiles, tile = _pick_tiling(n_cells, hidden, din)
+    return (4 * (tile * 5 * hidden + n_tiles * tile * (din + 60))
+            + _fixed_vmem_bytes(hidden, din))
 _ADAM_B1 = 0.9
 _ADAM_B2 = 0.999
 _ADAM_EPS = 1e-8
@@ -162,8 +180,7 @@ def fused_trainer_supported(spec: MLPSpec, n_cells: int,
     din, hidden = spec.dims[0], spec.dims[1]
     if hidden > 512:
         return False
-    return (4 * 128 * (5 * hidden + din + 60)
-            + _fixed_vmem_bytes(hidden, din)) <= VMEM_BUDGET
+    return _tiling_vmem_bytes(n_cells, hidden, din) <= VMEM_BUDGET
 
 
 def _euler_forward(q):

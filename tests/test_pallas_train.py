@@ -344,21 +344,26 @@ def test_fused_support_gate_declines_wide_hidden():
 
 def test_pick_tiling_respects_fixed_vmem_cost():
     """The lane-tile budget must subtract the hidden-dependent weight +
-    Adam-moment residents; at h=512 the reference configs keep their
-    tiles (bench comparability), and the chosen tile never exceeds what
-    the full VMEM model admits."""
+    Adam-moment residents AND charge the input slabs for every tile
+    (they are whole-array VMEM residents): the round-5 grid width study
+    OOM'd the chip at the old model's 3 x 1280 tiling for 3712 cells
+    (16.3M scoped vs the 16M limit). At h=512 the reference configs keep
+    their tiles (bench comparability)."""
     from knode_cosserat_tpu.ops.pallas_train import (VMEM_BUDGET,
-                                                     _fixed_vmem_bytes,
-                                                     _pick_tiling)
+                                                     _pick_tiling,
+                                                     _tiling_vmem_bytes)
     assert _pick_tiling(112, 512, 53) == (1, 128)     # flagship bench
     assert _pick_tiling(1904, 512, 53) == (2, 1024)   # train-real
-    for cells in (112, 1904, 8192):
+    # the measured-OOM shape must no longer be chosen
+    assert _pick_tiling(3712, 512, 28) != (3, 1280)
+    for cells in (112, 1904, 3712, 8192):
         for hidden in (64, 128, 512):
-            n_tiles, tile = _pick_tiling(cells, hidden, 53)
-            assert n_tiles * tile >= cells
-            used = (4 * tile * (5 * hidden + 53 + 60)
-                    + _fixed_vmem_bytes(hidden, 53))
-            assert used <= VMEM_BUDGET or tile == 128, (cells, hidden)
+            for din in (28, 53):
+                n_tiles, tile = _pick_tiling(cells, hidden, din)
+                assert n_tiles * tile >= cells
+                used = _tiling_vmem_bytes(cells, hidden, din)
+                assert used <= VMEM_BUDGET or tile == 128, \
+                    (cells, hidden, din, used)
 
 
 # ------------------------------------------------- wide (streamed) trainer
