@@ -144,11 +144,17 @@ def measure_torch_cpu_epoch():
 
 _HIGHER_BETTER = ("per_sec", "epochs_per_sec", "mfu_pct")
 _LOWER_BETTER = ("latency", "wall_s", "rmse")
-_SKIP = ("compile_s",)   # compile walls are cache-state, not perf
+# compile walls measure cache state; the live torch oracle measures the
+# 1-core HOST under contention (it is the baseline, not the framework) —
+# neither is a framework perf signal, so neither may trip the gate
+_SKIP = ("compile_s", "torch_cpu_epochs_per_sec_live")
 # Sub-millisecond latency metrics ride the axon tunnel's host-round-trip
-# jitter (measured 2.3x spread within ONE session, round 4) — escalate to
-# fail only past the observed noise envelope.
-_NOISY = {"serving_latency_ms": 0.60}
+# jitter: identical code measured 0.519 -> 0.799 ms across round-4 runs
+# (-54%) and a 2.3x spread (0.49-1.11 ms) within ONE session. A warn
+# below that envelope is a guaranteed false positive every round, so
+# noisy metrics carry their own (warn_at, fail_at) pair: warn past the
+# cross-run identical-code spread, fail past the within-session spread.
+_NOISY = {"serving_latency_ms": (0.60, 1.30)}
 
 
 def _load_previous_bench(history_dir):
@@ -226,10 +232,10 @@ def detect_regressions(value, extras, baseline=None,
             change = (old - new) / abs(old)
         else:
             continue
-        metric_fail_at = _NOISY.get(name, fail_at)
+        metric_warn_at, metric_fail_at = _NOISY.get(name, (warn_at, fail_at))
         if change <= -metric_fail_at:
             report["fail"][name] = round(change * 100, 1)
-        elif change <= -warn_at:
+        elif change <= -metric_warn_at:
             report["warn"][name] = round(change * 100, 1)
     return report
 
@@ -370,8 +376,13 @@ def extra_steps(ctx):
     def serving():
         from knode_cosserat_tpu.serving import CompiledStepper
         stepper = CompiledStepper(p10, fast=not on_cpu)
-        return {"serving_latency_ms": round(
-            stepper.benchmark(100, reps=10)["latency_ms"], 3)}
+        rep = stepper.benchmark(100, reps=10)
+        # dispatch floor (same loop, trivial program) splits the latency
+        # into tunnel RTT vs device work; deliberately NOT a regression
+        # metric — it measures the transport, not the framework
+        return {"serving_latency_ms": round(rep["latency_ms"], 3),
+                "serving_dispatch_floor_ms": round(
+                    rep["dispatch_floor_ms"], 3)}
 
     yield "serving", serving
 

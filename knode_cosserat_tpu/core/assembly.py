@@ -581,7 +581,18 @@ def assembly_step_carry(asm: RodAssembly, carry: AssemblyCarry, tensions,
     solve_fn: optional replacement for the XLA Newton solve — e.g. the
     fused mega-kernel (ops/pallas_assembly.make_assembly_step_kernel);
     signature (X0, yh, zh, tf, pph, vph, hph, wbh) -> (X, y, z_body, r2,
-    iters). When given, nn/differentiable/solver args are ignored."""
+    iters). `differentiable` IS honored with solve_fn (hybrid IFT solve
+    below); `solver` is not. The fused kernel knows nothing about the
+    NN residual, so combining solve_fn with nn_fn/nn_params would make
+    custom_root differentiate an NN-augmented residual at an NN-free
+    root (res(X) != 0 -> silently wrong cotangents) — rejected here."""
+    if solve_fn is not None and (nn_fn is not None
+                                 or nn_params is not None):
+        raise ValueError(
+            "solve_fn (fused kernel) cannot be combined with nn_fn/"
+            "nn_params: the kernel solves the physics-only residual, so "
+            "hybrid-KNODE assemblies must use the XLA path "
+            "(solve_fn=None / fused=False).")
     rods = asm.rods
     M = asm.M
     dtype = asm.dtype

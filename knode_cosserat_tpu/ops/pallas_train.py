@@ -107,9 +107,18 @@ def _pick_tiling(n_cells: int, hidden: int, din: int):
     input_total = 4 * cells_pad * in_rows
     tile_max = max(128, ((avail - input_total) // (4 * work))
                    // 128 * 128)
-    n_tiles = -(-n_cells // tile_max)
-    tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
-    return n_tiles, tile
+    # The kernel pads the input slabs to n_tiles*tile lanes (>= cells_pad
+    # by up to n_tiles*128), so re-check the CHOSEN tiling against the
+    # model it came from and shrink until consistent — otherwise the
+    # picked tiling can exceed the budget by the per-tile padding, the
+    # same marginal-overage class as the measured 3x1280 OOM.
+    while True:
+        n_tiles = -(-n_cells // tile_max)
+        tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
+        used = 4 * (tile * work + n_tiles * tile * in_rows)
+        if used <= avail or tile_max <= 128:
+            return n_tiles, tile
+        tile_max -= 128
 
 
 def _tiling_vmem_bytes(n_cells: int, hidden: int, din: int) -> int:

@@ -149,6 +149,24 @@ class CompiledStepper:
                 state, _ = self.step(state, tensions)
             jax.block_until_ready(state.y)
             dt = min(dt, (time.perf_counter() - t0) / n)
+        # Dispatch floor: the same chained-dependency loop on a trivial
+        # compiled program. On a remote-attached chip (axon tunnel) this
+        # is almost all of the step latency — publishing it lets a reader
+        # split `latency_ms` into transport RTT vs device work, and
+        # explains why the metric swings between sessions while the
+        # device-side rollout rates do not.
+        tiny = (jax.jit(lambda x: x + 1.0)
+                .lower(jnp.zeros((), self.p.dtype)).compile())
+        x = tiny(jnp.zeros((), self.p.dtype))
+        jax.block_until_ready(x)
+        floor = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            for _ in range(n):
+                x = tiny(x)
+            jax.block_until_ready(x)
+            floor = min(floor, (time.perf_counter() - t0) / n)
         return {"latency_ms": dt * 1e3,
+                "dispatch_floor_ms": floor * 1e3,
                 "steps_per_sec": (self.batch or 1) / dt,
                 "realtime_factor": float(self.p.del_t) / dt}

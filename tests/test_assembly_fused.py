@@ -88,6 +88,16 @@ def test_fused_rejects_unsupported_configs():
     with pytest.raises(NotImplementedError, match="KNODE"):
         simulate_assembly(asm, ctl, fused="interpret",
                           nn_fn=lambda x: 0.0 * x[..., :25])
+    # the layer guard itself: solve_fn + NN at assembly_step_carry would
+    # make custom_root differentiate an NN-augmented residual at an
+    # NN-free root (silently wrong cotangents) — must raise even for
+    # callers that bypass simulate_assembly (e.g. rollout_plate)
+    from knode_cosserat_tpu.core.assembly import (AssemblyCarry,
+                                                  assembly_step_carry)
+    with pytest.raises(ValueError, match="solve_fn"):
+        assembly_step_carry(asm, AssemblyCarry.initial(asm), ctl[0],
+                            nn_fn=lambda x: 0.0 * x[..., :25],
+                            solve_fn=lambda *a: None)
 
 
 def test_fused_differentiable_gradient_matches_xla():

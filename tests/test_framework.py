@@ -458,26 +458,43 @@ def test_bench_regression_tripwire(tmp_path):
     assert rep["baseline"] == "BENCH_r03.json"
     assert rep["warn"] == {} and rep["fail"] == {}
 
-    # degraded run: throughput -12% warns, latency 2x fails, rmse 2x fails
+    # degraded run: throughput -12% warns, rmse 2x fails; serving latency
+    # 2x is INSIDE the measured within-session tunnel spread (0.49-1.11
+    # ms, round 4) -> warn, not fail (bench._NOISY carries its own pair)
     rep = detect_regressions(30000.0, {
         "rollout_fused_steps_per_sec_n40": 700000,   # -12.5% -> warn
-        "serving_latency_ms": 1.0,                   # 2x -> fail
+        "serving_latency_ms": 1.0,                   # 2x -> noisy: warn
         "parity_tip_rmse_m": 2e-8,                   # 2x -> fail
     }, baseline=_load_previous_bench(str(tmp_path)))
     assert "rollout_fused_steps_per_sec_n40" in rep["warn"]
-    assert "serving_latency_ms" in rep["fail"]
+    assert "serving_latency_ms" in rep["warn"]
     assert "parity_tip_rmse_m" in rep["fail"]
     # headline drop beyond 25% fails too
     rep = detect_regressions(20000.0, {}, baseline=_load_previous_bench(str(tmp_path)))
     assert "headline_epochs_per_sec" in rep["fail"]
 
-    # jitter-class metric (bench._NOISY): +40% serving latency is within
-    # the measured axon-tunnel session noise (0.49-1.11 ms spread) ->
-    # warn, not fail; only past the 60% envelope does it fail
+    # jitter-class metric (bench._NOISY): -40% serving latency is within
+    # the cross-run identical-code spread (0.519 -> 0.799 ms, round 4) ->
+    # silent; past 60% warns; only past the 130% within-session envelope
+    # does it fail
     rep = detect_regressions(30000.0, {"serving_latency_ms": 0.7},
                              baseline=_load_previous_bench(str(tmp_path)))
-    assert "serving_latency_ms" in rep["warn"]
+    assert "serving_latency_ms" not in rep["warn"]
     assert "serving_latency_ms" not in rep["fail"]
+    rep = detect_regressions(30000.0, {"serving_latency_ms": 1.25},
+                             baseline=_load_previous_bench(str(tmp_path)))
+    assert "serving_latency_ms" in rep["fail"]
+
+    # the live torch oracle measures the contended 1-core HOST, not the
+    # framework — it must never trip the gate even when halved
+    prev2 = {"parsed": {"value": 30000.0, "extra": {
+        "torch_cpu_epochs_per_sec_live": 20.0}}}
+    (tmp_path / "BENCH_r04.json").write_text(_json.dumps(prev2))
+    rep = detect_regressions(
+        30000.0, {"torch_cpu_epochs_per_sec_live": 9.0},
+        baseline=_load_previous_bench(str(tmp_path)))
+    assert "torch_cpu_epochs_per_sec_live" not in rep["fail"]
+    assert "torch_cpu_epochs_per_sec_live" not in rep["warn"]
 
     # no history -> empty report, never crashes
     (tmp_path / "empty").mkdir()

@@ -356,7 +356,9 @@ def test_pick_tiling_respects_fixed_vmem_cost():
     assert _pick_tiling(1904, 512, 53) == (2, 1024)   # train-real
     # the measured-OOM shape must no longer be chosen
     assert _pick_tiling(3712, 512, 28) != (3, 1280)
-    for cells in (112, 1904, 3712, 8192):
+    # 3200 is the shape where an unconverged pick pads past its own
+    # budget (n_tiles*tile = 3456 > cells_pad = 3200)
+    for cells in (112, 1904, 3200, 3712, 8192):
         for hidden in (64, 128, 512):
             for din in (28, 53):
                 n_tiles, tile = _pick_tiling(cells, hidden, din)

@@ -33,6 +33,33 @@ def test_package_manifest_is_valid():
         assert need in deps, f"package.xml missing <depend>{need}"
 
 
+def test_launch_file_parses_and_eval_spans_whole_attribute():
+    """roslaunch accepts $(eval ...) ONLY as the ENTIRE attribute value
+    (mixing it with literal text raises SubstitutionException at parse
+    time) — pin that every attribute using eval obeys the rule, and that
+    the teleop node line forwards port/sil."""
+    path = os.path.join(PKG, "launch", "teleop.launch")
+    root = ET.parse(path).getroot()
+    assert root.tag == "launch"
+    for el in root.iter():
+        for key, val in el.attrib.items():
+            if "$(eval" in val:
+                assert val.startswith("$(eval") and val.endswith(")"), (
+                    f"<{el.tag} {key}> mixes $(eval) with literal text: "
+                    f"{val!r} — roslaunch rejects this at parse time")
+    nodes = {n.get("name"): n for n in root.findall("node")}
+    assert "motor_joy_teleop" in nodes and "joy_node" in nodes
+    args = nodes["motor_joy_teleop"].get("args")
+    assert "--port" in args and "--sil" in args and "arg('port')" in args
+    # the eval expression must be valid python given roslaunch's arg()
+    expr = args[len("$(eval"):-1].strip()
+    for sil in (True, False):
+        out = eval(expr, {"arg": {"port": "/dev/ttyACM1",
+                                  "sil": sil}.__getitem__})
+        assert out.startswith("--port /dev/ttyACM1")
+        assert ("--sil" in out) == sil
+
+
 def test_cmakelists_installs_the_node():
     txt = open(os.path.join(PKG, "CMakeLists.txt")).read()
     assert "catkin_install_python" in txt

@@ -39,6 +39,9 @@ def test_compiled_stepper_batched_hybrid():
     np.testing.assert_array_equal(y[0], y[1])
     b = stepper.benchmark(n=5)
     assert b["latency_ms"] > 0 and np.isfinite(b["realtime_factor"])
+    # the dispatch floor (trivial-program round trip) bounds the step
+    # latency from below up to timing noise
+    assert 0 < b["dispatch_floor_ms"] < b["latency_ms"] * 2
 
 
 def test_compiled_stepper_fast_matches_scan_path():
