@@ -59,12 +59,26 @@ SPECS = [("sine", 0.5), ("sine", 1.0)]
 # Global wall budget. The deadline is ABSOLUTE (unix time) so the
 # axon-lease re-exec cannot reset it.
 BUDGET_S = float(os.environ.get("KNODE_BENCH_BUDGET_S", "420"))
-if "KNODE_BENCH_DEADLINE" not in os.environ:
-    os.environ["KNODE_BENCH_DEADLINE"] = str(time.time() + BUDGET_S)
-DEADLINE = float(os.environ["KNODE_BENCH_DEADLINE"])
+DEADLINE = None  # pinned by _init_deadline() at run time, not at import
+
+
+def _init_deadline() -> float:
+    """Pin the absolute wall deadline. Called from main() — NOT at import,
+    so importing bench.py for its helpers (tests do) never writes
+    KNODE_BENCH_DEADLINE into a long-lived process whose later bench
+    subprocesses would inherit an already-expired window and silently skip
+    every extra. The env var still carries the deadline across the
+    axon-lease re-exec (os.execv in main)."""
+    global DEADLINE
+    if "KNODE_BENCH_DEADLINE" not in os.environ:
+        os.environ["KNODE_BENCH_DEADLINE"] = str(time.time() + BUDGET_S)
+    DEADLINE = float(os.environ["KNODE_BENCH_DEADLINE"])
+    return DEADLINE
 
 
 def _remaining() -> float:
+    if DEADLINE is None:  # helper-import use: a full budget, no env write
+        return BUDGET_S
     return DEADLINE - time.time()
 
 
@@ -457,11 +471,15 @@ def extra_steps(ctx):
                 [np.asarray(calc_controls("sine", a, del_t, Ta))
                  for a in (0.7, 1.0, 1.3)], axis=1), jnp.float32)
 
-        def marginal_rate(run):
+        def marginal_rate(run, name):
             """Steady-state steps/s via the T-differential: every synced
             call pays the axon tunnel's ~30 ms round trip (see
             timeit_queued), which at T=101 dwarfs the fused rollout's
-            device time — the T=1001 minus T=101 difference cancels it."""
+            device time — the T=1001 minus T=101 difference cancels it.
+            Returns None (metric dropped) when the differential is not
+            cleanly positive: a transient lease stall inflating one wall
+            would otherwise record an absurd rate that merges into the
+            NEXT round's regression baseline via BENCH_DETAIL.json."""
             def wall(c):
                 jax.block_until_ready(run(c))      # compile/warm
                 best = float("inf")
@@ -471,14 +489,27 @@ def extra_steps(ctx):
                     best = min(best, time.perf_counter() - t0)
                 return best
             w_lo, w_hi = wall(ctl_for(101)), wall(ctl_for(1001))
-            return 900.0 / max(w_hi - w_lo, 1e-9)
+            diff = w_hi - w_lo
+            if diff < 0.05 * w_hi:
+                print(f"# {name}: T-differential {diff * 1e3:.1f} ms is "
+                      f"noise-level (walls {w_lo * 1e3:.0f}/"
+                      f"{w_hi * 1e3:.0f} ms); metric dropped",
+                      file=sys.stderr)
+                return None
+            return round(900.0 / diff)
 
         # headline: the fused mega-kernel path (ops/pallas_assembly) —
         # one Pallas launch per coupled Newton solve
-        out["assembly_steps_per_sec_3rods"] = round(marginal_rate(
-            jax.jit(lambda c: simulate_assembly(asm, c, fused=True).traj)))
-        out["assembly_xla_steps_per_sec_3rods"] = round(marginal_rate(
-            jax.jit(lambda c: simulate_assembly(asm, c).traj)))
+        rates = {
+            "assembly_steps_per_sec_3rods": marginal_rate(
+                jax.jit(lambda c: simulate_assembly(asm, c,
+                                                    fused=True).traj),
+                "assembly_steps_per_sec_3rods"),
+            "assembly_xla_steps_per_sec_3rods": marginal_rate(
+                jax.jit(lambda c: simulate_assembly(asm, c).traj),
+                "assembly_xla_steps_per_sec_3rods"),
+        }
+        out.update({k: v for k, v in rates.items() if v is not None})
 
         # batched assemblies: the MPC/planning workload (many candidate
         # tension schedules through the coupled solve at once) — vmap
@@ -588,6 +619,7 @@ def _write_detail(doc):
 
 
 def main():
+    _init_deadline()
     import jax
     if os.environ.get("KNODE_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["KNODE_PLATFORM"])

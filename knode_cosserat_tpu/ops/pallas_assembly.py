@@ -51,7 +51,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_sweep import _YR, _ZR, make_rhs_rows
+from .pallas_sweep import _YR, _ZR, _cross as _cross_rows, make_rhs_rows
 
 __all__ = ["make_assembly_step_kernel"]
 
@@ -79,12 +79,6 @@ def _quat_mul_rows(a, b):
             aw * bx + ax * bw + ay * bz - az * by,
             aw * by - ax * bz + ay * bw + az * bx,
             aw * bz + ax * by - ay * bx + az * bw]
-
-
-def _cross_rows(a, b):
-    return [a[1] * b[2] - a[2] * b[1],
-            a[2] * b[0] - a[0] * b[2],
-            a[0] * b[1] - a[1] * b[0]]
 
 
 def make_assembly_step_kernel(asm, tol: float = 1e-10, max_iter: int = 50,

@@ -91,6 +91,17 @@ def _fixed_vmem_bytes(hidden: int, din: int) -> int:
     return 3 * 4 * n_params
 
 
+def _model_bytes(n_tiles: int, tile: int, hidden: int, din: int) -> int:
+    """The ONE VMEM formula: per-tile working set (activations/gradients
+    on one tile's lanes) + whole-array input slabs (x, y_base, z_phys,
+    targets, mask — din+60 rows, padded to n_tiles*tile lanes) +
+    lane-independent residents. Both _pick_tiling's convergence check and
+    _tiling_vmem_bytes (the fused_trainer_supported gate) derive from this
+    single function so the picker and the gate cannot drift."""
+    return (4 * (tile * 5 * hidden + n_tiles * tile * (din + 60))
+            + _fixed_vmem_bytes(hidden, din))
+
+
 def _pick_tiling(n_cells: int, hidden: int, din: int):
     """-> (n_tiles, tile): 128-aligned lane tile under the VMEM model.
 
@@ -115,8 +126,8 @@ def _pick_tiling(n_cells: int, hidden: int, din: int):
     while True:
         n_tiles = -(-n_cells // tile_max)
         tile = ((-(-n_cells // n_tiles) + 127) // 128) * 128
-        used = 4 * (tile * work + n_tiles * tile * in_rows)
-        if used <= avail or tile_max <= 128:
+        if (_model_bytes(n_tiles, tile, hidden, din) <= int(VMEM_BUDGET)
+                or tile_max <= 128):
             return n_tiles, tile
         tile_max -= 128
 
@@ -124,8 +135,7 @@ def _pick_tiling(n_cells: int, hidden: int, din: int):
 def _tiling_vmem_bytes(n_cells: int, hidden: int, din: int) -> int:
     """Modeled VMEM bytes of the tiling _pick_tiling returns."""
     n_tiles, tile = _pick_tiling(n_cells, hidden, din)
-    return (4 * (tile * 5 * hidden + n_tiles * tile * (din + 60))
-            + _fixed_vmem_bytes(hidden, din))
+    return _model_bytes(n_tiles, tile, hidden, din)
 _ADAM_B1 = 0.9
 _ADAM_B2 = 0.999
 _ADAM_EPS = 1e-8

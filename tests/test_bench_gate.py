@@ -62,16 +62,24 @@ def test_budget_skips_extras_and_streams_detail(bench_run):
 
 def test_deadline_not_reset_by_reexec_env():
     """KNODE_BENCH_DEADLINE is absolute: a re-exec that inherits it keeps
-    the original budget window instead of restarting it."""
+    the original budget window instead of restarting it. And importing
+    bench.py must NOT write the env var (a long-lived importer would leak
+    an expired deadline into later bench subprocesses)."""
     import importlib.util
     env_backup = os.environ.get("KNODE_BENCH_DEADLINE")
     try:
-        os.environ["KNODE_BENCH_DEADLINE"] = "123.0"
+        os.environ.pop("KNODE_BENCH_DEADLINE", None)
         spec = importlib.util.spec_from_file_location(
             "bench_probe", os.path.join(HERE, "bench.py"))
         mod = importlib.util.module_from_spec(spec)
         spec.loader.exec_module(mod)
-        assert mod.DEADLINE == 123.0
+        # import is side-effect free: no env write, full budget fallback
+        assert "KNODE_BENCH_DEADLINE" not in os.environ
+        assert mod.DEADLINE is None
+        assert mod._remaining() == mod.BUDGET_S
+        # the re-exec path: an inherited absolute deadline wins
+        os.environ["KNODE_BENCH_DEADLINE"] = "123.0"
+        assert mod._init_deadline() == 123.0
         assert mod._remaining() < 0
     finally:
         if env_backup is None:
