@@ -501,3 +501,40 @@ def test_bench_regression_tripwire(tmp_path):
     rep = detect_regressions(
         1.0, {}, baseline=_load_previous_bench(str(tmp_path / "empty")))
     assert rep["baseline"] is None and rep["fail"] == {}
+
+    # host-bound metrics (bench._HOST_BOUND): trace-dominated walls only
+    # compare fairly on the SAME host. Round-5 evidence: a VM migration to
+    # a ~3x slower CPU (torch oracle 26.1 -> 8.5 eps on identical code)
+    # moved sysid_fit200_wall_s -38% while every device metric improved.
+    hostdir = tmp_path / "host"
+    hostdir.mkdir()
+    prev = {"parsed": {
+        "metric": "knode_batched_training_throughput",
+        "value": 30000.0,
+        "host": "hostA",
+        "extra": {"sysid_fit200_wall_s": 1.0,
+                  "sysid_fit_marginal_ms_per_step": 2.0},
+    }}
+    (hostdir / "BENCH_r05.json").write_text(_json.dumps(prev))
+    base = _load_previous_bench(str(hostdir))
+    assert base[0]["host"] == "hostA"
+    # different host: the -40% fail downgrades to warn, annotated
+    rep = detect_regressions(30000.0, {"sysid_fit200_wall_s": 1.4},
+                             baseline=base, host="hostB")
+    assert "sysid_fit200_wall_s" in rep["warn"] and rep["fail"] == {}
+    assert rep["host_downgraded"] == ["sysid_fit200_wall_s"]
+    assert rep["baseline_host"] == "hostA"
+    # same host: a real slowdown still fails
+    rep = detect_regressions(30000.0, {"sysid_fit200_wall_s": 1.4},
+                             baseline=base, host="hostA")
+    assert "sysid_fit200_wall_s" in rep["fail"]
+    # unknown-host baseline (pre-round-5 records): also downgraded
+    rep = detect_regressions(30000.0, {"sysid_fit200_wall_s": 1.4},
+                             baseline=(dict(base[0], host=None), "x"),
+                             host="hostB")
+    assert "sysid_fit200_wall_s" in rep["warn"] and rep["fail"] == {}
+    # the device-dominated twin is NOT host-gated: fails on any host
+    rep = detect_regressions(30000.0,
+                             {"sysid_fit_marginal_ms_per_step": 3.0},
+                             baseline=base, host="hostB")
+    assert "sysid_fit_marginal_ms_per_step" in rep["fail"]
