@@ -400,10 +400,12 @@ def extra_steps(ctx):
             t0 = time.perf_counter()
             hist = _sysid_run()
             dt = min(dt, time.perf_counter() - t0)
-        # each call re-traces the fresh jit closure; XLA compile is
-        # cache-hit — the user-visible "how long does an identification
-        # run take" regression number. HOST-bound (trace-dominated):
-        # cross-host comparisons downgrade to warn (_HOST_BOUND).
+        # the user-visible "how long does an identification run take"
+        # regression number. Since the round-5 trace cache
+        # (training/sysid._cached_fit_programs) repeat fits skip host
+        # re-tracing entirely, so this wall is now dispatch+device (was
+        # ~95% re-trace, ~1.3 s). Kept in _HOST_BOUND so comparisons
+        # against pre-cache cross-host baselines stay warn-only.
         out = {}
         if np.isfinite(np.asarray(hist)).all():
             out["sysid_fit200_wall_s"] = round(dt, 2)

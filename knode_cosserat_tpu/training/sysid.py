@@ -31,6 +31,7 @@ program — zero per-step dispatch, vmappable over candidate starts.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Dict, Optional, Sequence, Tuple
 
 import jax
@@ -228,6 +229,85 @@ def _chunk_sizes(steps: int, chunk) -> list:
     return sizes or [0]
 
 
+def _default_opt(lr: float, nn_lr: float, fit_nn: bool):
+    """The fit's default optimizer: Adam(lr) on the physics theta, a
+    separate Adam(nn_lr) on joint NN weights. Labels are computed by a
+    CALLABLE so the transform needs no concrete theta — buildable inside
+    the trace-cached program factory below."""
+    base = optax.adam(lr)
+    if not fit_nn:
+        return base
+
+    def labels(th):
+        return {k: jax.tree.map(lambda _: ("nn" if k == "nn" else "phys"), v)
+                for k, v in th.items()}
+
+    return optax.multi_transform({"phys": base, "nn": optax.adam(nn_lr)},
+                                 labels)
+
+
+def _build_fit_programs(opt, objective, keypoints, spec, method, tol,
+                        max_iter, skip_first, vmapped):
+    """(body, final_loss) jitted programs for :func:`fit_rod_params`.
+
+    Everything array-valued — the rod, the data, the default NN weights,
+    theta, optimizer state — enters as a jit ARGUMENT (jit's own cache
+    then keys on shapes/dtypes/pytree structure), so the same program
+    object serves every rod of a given N and every `fields` choice."""
+
+    def _body(p, nn_params, theta, opt_state, traj, controls, length):
+        loss_fn = _make_objective(p, traj, controls, objective, keypoints,
+                                  spec, nn_params, method, tol, max_iter,
+                                  skip_first=skip_first)
+
+        def fit_step(carry, _):
+            th, st = carry
+            value, grads = jax.value_and_grad(loss_fn)(th)
+            updates, st = opt.update(grads, st, th)
+            th = optax.apply_updates(th, updates)
+            return (th, st), value
+
+        (theta, opt_state), hist = lax.scan(fit_step, (theta, opt_state),
+                                            None, length=length)
+        return theta, opt_state, hist
+
+    def _final(p, nn_params, theta, traj, controls):
+        loss_fn = _make_objective(p, traj, controls, objective, keypoints,
+                                  spec, nn_params, method, tol, max_iter,
+                                  skip_first=skip_first)
+        return loss_fn(theta)
+
+    if vmapped:    # multi-start: theta/opt_state batched, data broadcast
+        body = jax.jit(
+            jax.vmap(_body, in_axes=(None, None, 0, 0, None, None, None)),
+            static_argnums=6)
+        final = jax.jit(jax.vmap(_final,
+                                 in_axes=(None, None, 0, None, None)))
+    else:
+        body = jax.jit(_body, static_argnums=6)
+        final = jax.jit(_final)
+    return body, final
+
+
+@functools.lru_cache(maxsize=64)
+def _cached_fit_programs(objective, keypoints, spec, method, tol, max_iter,
+                         skip_first, lr, nn_lr, fit_nn, vmapped):
+    """Trace-cache for the default-optimizer fit path.
+
+    A fresh-closure jit re-traces on EVERY call: the 200-step teacher fit's
+    wall was ~95% host re-trace (sysid_fit200_wall_s ~1.3 s against a 0.26
+    ms/step device marginal — bench.py's T-differential), paid again for
+    each window in repeated identification. Keying the program on the
+    hashable config alone removes it for every call after the first; the
+    custom-`optimizer` path stays uncached (an optax transform is not a
+    cache key)."""
+    opt = _default_opt(lr, nn_lr, fit_nn)
+    body, final = _build_fit_programs(opt, objective, keypoints, spec,
+                                      method, tol, max_iter, skip_first,
+                                      vmapped)
+    return opt, body, final
+
+
 def _best_start(final_losses: jnp.ndarray) -> jnp.ndarray:
     """Index of the winning restart. NaN final losses (diverged starts —
     exactly what multi-start exists to survive) are treated as +inf;
@@ -343,51 +423,45 @@ def fit_rod_params(
     if fit_nn:
         theta0["nn"] = nn_params
 
+    kp = tuple(int(k) for k in keypoints)
     if optimizer is None:
-        optimizer = optax.adam(lr)
-    if fit_nn:
-        # separate learning rates: physics in log-space moves at `lr`,
-        # NN weights at the trainer's scale `nn_lr`.
-        labels = {"phys": jax.tree.map(lambda _: "phys", theta0["phys"]),
-                  "nn": jax.tree.map(lambda _: "nn", theta0["nn"])}
-        opt = optax.multi_transform(
-            {"phys": optimizer, "nn": optax.adam(nn_lr)}, labels)
+        programs = functools.partial(
+            _cached_fit_programs, objective, kp, spec, method,
+            None if tol is None else float(tol), int(max_iter),
+            bool(skip_first), float(lr), float(nn_lr), bool(fit_nn))
     else:
-        opt = optimizer
+        if fit_nn:
+            # separate learning rates: physics in log-space moves through
+            # the caller's transform, NN weights at the trainer's scale.
+            labels = {"phys": jax.tree.map(lambda _: "phys",
+                                           theta0["phys"]),
+                      "nn": jax.tree.map(lambda _: "nn", theta0["nn"])}
+            opt_custom = optax.multi_transform(
+                {"phys": optimizer, "nn": optax.adam(nn_lr)}, labels)
+        else:
+            opt_custom = optimizer
 
-    loss_fn = _make_objective(p, traj, controls, objective, keypoints,
-                              spec, nn_params, method, tol, max_iter,
-                              skip_first=skip_first)
-
-    def fit_step(carry, _):
-        th, st = carry
-        value, grads = jax.value_and_grad(loss_fn)(th)
-        updates, st = opt.update(grads, st, th)
-        th = optax.apply_updates(th, updates)
-        return (th, st), value
-
-    def scan_chunk(theta, opt_state, length):
-        (theta, opt_state), hist = lax.scan(fit_step, (theta, opt_state),
-                                            None, length=length)
-        return theta, opt_state, hist
+        def programs(vmapped):
+            body, final = _build_fit_programs(
+                opt_custom, objective, kp, spec, method, tol, max_iter,
+                skip_first, vmapped)
+            return opt_custom, body, final
 
     def run_chunked(theta, vmapped: bool):
         """steps as ceil(steps/chunk) jitted programs (2 compilations
         max: the full chunk and the remainder), optimizer state carried
         across; identical math to the single-program scan."""
         sizes = _chunk_sizes(steps, chunk)
-        body = jax.jit(jax.vmap(scan_chunk, in_axes=(0, 0, None))
-                       if vmapped else scan_chunk,
-                       static_argnums=2)
-        final_of = jax.jit(jax.vmap(loss_fn) if vmapped else loss_fn)
+        opt, body, final_of = programs(vmapped)
         opt_state = (jax.vmap(opt.init)(theta) if vmapped
                      else opt.init(theta))
         hists = []
         for length in sizes:
-            theta, opt_state, h = body(theta, opt_state, length)
+            theta, opt_state, h = body(p, nn_params, theta, opt_state,
+                                       traj, controls, length)
             hists.append(h)
         hist = jnp.concatenate(hists, axis=1 if vmapped else 0)
-        return theta, hist, final_of(theta)
+        return theta, hist, final_of(p, nn_params, theta, traj, controls)
 
     start_losses = None
     if n_starts > 1:
@@ -905,6 +979,67 @@ def _unstack_rods(rods: RodParams, M: int):
     return [jax.tree.map(lambda x: x[i], rods) for i in range(M)]
 
 
+def _assembly_fit_loss(asm, plate_traj, controls, theta, w_ori, tol,
+                       max_iter, solver):
+    """Plate-pose MSE of the coupled rollout at per-rod theta (the
+    fit_assembly_params objective; module-level so the jitted chunk below
+    closes over hashable config only)."""
+    from ..core.assembly import simulate_assembly
+    rods_t = jax.vmap(apply_theta)(asm.rods, theta)
+    sim = simulate_assembly(asm.replace(rods=rods_t), controls,
+                            tol=tol, max_iter=max_iter,
+                            differentiable=True, remat=True,
+                            solver=solver)
+    dp = sim.plate_pose[:, :3] - plate_traj[:, :3]
+    loss = jnp.mean(dp * dp)
+    if w_ori:
+        # normalized, antipode-safe: 1 - cos^2(angle between quats).
+        # Observed mocap quats are not unit-exact and the solver's
+        # h_plate carries f32 rounding, so normalize both.
+        q = sim.plate_pose[:, 3:7]
+        qt = plate_traj[:, 3:7]
+        dot = (jnp.sum(q * qt, axis=-1)
+               * jax.lax.rsqrt(jnp.sum(q * q, axis=-1)
+                               * jnp.sum(qt * qt, axis=-1) + 1e-30))
+        loss = loss + w_ori * jnp.mean(1.0 - dot * dot)
+    return loss
+
+
+def _assembly_fit_chunk(opt, w_ori, tol, max_iter, solver,
+                        asm, plate_traj, controls, theta, opt_state,
+                        length):
+    """One host-chunk of the assembly fit's Adam scan. The first five
+    params are bound by functools.partial before jit; the assembly, data,
+    theta and optimizer state are jit arguments (M/N/has_contact are
+    static pytree aux), so jit's cache keys on their structure."""
+
+    def loss_fn(th):
+        return _assembly_fit_loss(asm, plate_traj, controls, th, w_ori,
+                                  tol, max_iter, solver)
+
+    def fit_step(carry, _):
+        th, st = carry
+        value, grads = jax.value_and_grad(loss_fn)(th)
+        updates, st = opt.update(grads, st, th)
+        th = optax.apply_updates(th, updates)
+        return (th, st), value
+
+    (theta, opt_state), hist = lax.scan(fit_step, (theta, opt_state),
+                                        None, length=length)
+    return theta, opt_state, hist
+
+
+@functools.lru_cache(maxsize=32)
+def _cached_assembly_fit_program(w_ori, tol, max_iter, solver, lr):
+    """Trace-cache for the default-optimizer assembly fit (same rationale
+    as _cached_fit_programs: a fresh-closure jit re-traces the whole
+    coupled-rollout grad program on every call)."""
+    opt = optax.adam(lr)
+    body = jax.jit(functools.partial(_assembly_fit_chunk, opt, w_ori, tol,
+                                     max_iter, solver), static_argnums=5)
+    return opt, body
+
+
 def fit_assembly_params(
     asm,
     plate_traj: jnp.ndarray,
@@ -951,8 +1086,6 @@ def fit_assembly_params(
     axis localizes the fault. The whole fit is one jitted lax.scan per
     chunk. No reference analogue (the reference has no assemblies).
     """
-    from ..core.assembly import simulate_assembly
-
     dtype = asm.dtype
     plate_traj = jnp.asarray(plate_traj, dtype)
     controls = jnp.asarray(controls, dtype)
@@ -974,47 +1107,23 @@ def fit_assembly_params(
     per_rod = [theta_init(r, fields) for r in _unstack_rods(asm.rods,
                                                             asm.M)]
     theta0 = jax.tree.map(lambda *xs: jnp.stack(xs), *per_rod)
-    opt = optimizer if optimizer is not None else optax.adam(lr)
-
-    def loss_fn(theta):
-        rods_t = jax.vmap(apply_theta)(asm.rods, theta)
-        sim = simulate_assembly(asm.replace(rods=rods_t), controls,
-                                tol=tol, max_iter=max_iter,
-                                differentiable=True, remat=True,
-                                solver=solver)
-        dp = sim.plate_pose[:, :3] - plate_traj[:, :3]
-        loss = jnp.mean(dp * dp)
-        if w_ori:
-            # normalized, antipode-safe: 1 - cos^2(angle between quats).
-            # Observed mocap quats are not unit-exact and the solver's
-            # h_plate carries f32 rounding, so normalize both.
-            q = sim.plate_pose[:, 3:7]
-            qt = plate_traj[:, 3:7]
-            dot = (jnp.sum(q * qt, axis=-1)
-                   * jax.lax.rsqrt(jnp.sum(q * q, axis=-1)
-                                   * jnp.sum(qt * qt, axis=-1) + 1e-30))
-            loss = loss + w_ori * jnp.mean(1.0 - dot * dot)
-        return loss
-
-    def fit_step(carry, _):
-        th, st = carry
-        value, grads = jax.value_and_grad(loss_fn)(th)
-        updates, st = opt.update(grads, st, th)
-        th = optax.apply_updates(th, updates)
-        return (th, st), value
-
-    def _scan_chunk(theta, opt_state, length):
-        (theta, opt_state), hist = lax.scan(fit_step, (theta, opt_state),
-                                            None, length=length)
-        return theta, opt_state, hist
-
-    scan_chunk = jax.jit(_scan_chunk, static_argnums=2)
+    if optimizer is None:
+        opt, scan_chunk = _cached_assembly_fit_program(
+            float(w_ori), None if tol is None else float(tol),
+            int(max_iter), solver, float(lr))
+    else:
+        opt = optimizer
+        scan_chunk = jax.jit(
+            functools.partial(_assembly_fit_chunk, opt, w_ori, tol,
+                              max_iter, solver),
+            static_argnums=5)
 
     sizes = _chunk_sizes(steps, chunk)
     theta, opt_state = theta0, opt.init(theta0)
     hists = []
     for n in sizes:
-        theta, opt_state, hist = scan_chunk(theta, opt_state, n)
+        theta, opt_state, hist = scan_chunk(asm, plate_traj, controls,
+                                            theta, opt_state, n)
         hists.append(hist)
     loss_history = jnp.concatenate(hists) if len(hists) > 1 else hists[0]
 

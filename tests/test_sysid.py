@@ -648,3 +648,59 @@ def test_fit_steps_zero_with_chunk_returns_empty_history():
     ares = fit_assembly_params(asm, obs.plate_pose, ctl2, fields=("E",),
                                steps=0, chunk=5)
     assert ares.loss_history.shape == (0,)
+
+
+def test_fit_trace_cache_reused_and_rod_independent():
+    """Repeat fits reuse the trace-cached program (round-5: the 200-step
+    fit's wall was ~95% host re-trace), and — the correctness risk of
+    caching — the rod enters as a jit ARGUMENT, so one cached program must
+    serve DIFFERENT rod values without baking the first rod in as a
+    constant."""
+    from knode_cosserat_tpu.training.sysid import _cached_fit_programs
+
+    p_true = experimental_rod(dtype=jnp.float64)
+    traj, ctl = _observed(p_true, T=8)
+    p_a = experimental_rod("youngs", dtype=jnp.float64)   # E = 10 GPa
+    p_b = experimental_rod("damping", dtype=jnp.float64)  # E nominal
+
+    kw = dict(fields=("E",), steps=6, lr=0.1)
+    res_a1 = fit_rod_params(p_a, traj, ctl, **kw)
+    before = _cached_fit_programs.cache_info().hits
+    res_a2 = fit_rod_params(p_a, traj, ctl, **kw)
+    assert _cached_fit_programs.cache_info().hits > before
+    np.testing.assert_array_equal(np.asarray(res_a1.loss_history),
+                                  np.asarray(res_a2.loss_history))
+
+    # different rod through the SAME cached program vs a fresh cache
+    res_b_cached = fit_rod_params(p_b, traj, ctl, **kw)
+    _cached_fit_programs.cache_clear()
+    res_b_fresh = fit_rod_params(p_b, traj, ctl, **kw)
+    np.testing.assert_array_equal(np.asarray(res_b_cached.loss_history),
+                                  np.asarray(res_b_fresh.loss_history))
+    # and the two rods genuinely produced different fits
+    assert not np.allclose(np.asarray(res_a1.loss_history),
+                           np.asarray(res_b_cached.loss_history))
+
+
+def test_assembly_fit_trace_cache_reused():
+    """fit_assembly_params's default-optimizer path reuses its trace-cached
+    chunk program across calls with identical results."""
+    from knode_cosserat_tpu.core.assembly import (make_ring_assembly,
+                                                  simulate_assembly)
+    from knode_cosserat_tpu.training.sysid import (
+        _cached_assembly_fit_program, fit_assembly_params)
+
+    asm = make_ring_assembly(n_rods=2, N=5, dtype=jnp.float32)
+    del_t = float(np.asarray(jax.tree.map(lambda x: x[0], asm.rods).del_t))
+    ctl = jnp.asarray(np.stack(
+        [np.asarray(calc_controls("sine", 0.7, del_t, 5)),
+         np.asarray(calc_controls("sine", 1.3, del_t, 5))], axis=1),
+        jnp.float32)
+    obs = simulate_assembly(asm, ctl)
+    kw = dict(fields=("E",), steps=2, lr=0.01, w_ori=0.5)
+    r1 = fit_assembly_params(asm, obs.plate_pose, ctl, **kw)
+    before = _cached_assembly_fit_program.cache_info().hits
+    r2 = fit_assembly_params(asm, obs.plate_pose, ctl, **kw)
+    assert _cached_assembly_fit_program.cache_info().hits > before
+    np.testing.assert_array_equal(np.asarray(r1.loss_history),
+                                  np.asarray(r2.loss_history))
